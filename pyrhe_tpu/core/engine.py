@@ -1,0 +1,329 @@
+"""The TPU-native RHE estimation engine.
+
+Orchestrates the whole method-of-moments pipeline over jackknife blocks:
+
+  pass 1   for each SNP block j: host .bed read (packed bytes or decoded
+           u8) -> device block_stats (decode+impute+standardize+fused
+           matmuls) -> accumulate totals; optionally cache per-block stats.
+  pass 2   per-sample leave-one-out stats (total - block) -> device
+           assemble_Tq -> (J+1) small (E+1)x(E+1) systems on host.
+  solve    QR/lstsq per sample + jackknife SEs + h2/enrichment.
+
+Streaming mode (cfg.streaming) recomputes block stats in pass 2 instead of
+caching them — O(E*N*B) memory independent of J, the reference's
+StreamingBase two-pass design (base_streaming.py:85-144) without the
+disk-re-read being the bottleneck (decode runs on device).
+
+Unlike the reference (which reruns everything per trait, base.py:874-886),
+all traits share one precompute: every trait's residualized phenotype is an
+extra probe column, so T is computed once and only q differs per trait.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.moments import block_stats, nxe_stats
+from ..utils.logger import Logger
+from .data import DataBundle
+from .normal_eq import assemble_Tq
+from . import solver as S
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    """Which variance components to estimate.
+
+    components: tuple of (kind, env_idx) per genotype-backed component,
+    kind in {"add", "dom"}; each contributes num_bin estimate rows.
+    include_nxe appends num_env analytic hetero-noise rows.
+    Estimate ordering matches the reference's (with the corrected GxE
+    indexing k_gxe = num_bin + e*num_bin + k, see SURVEY §2.6).
+    """
+    model: str
+    genie_model: str = "G"
+    components: tuple = (("add", None),)
+    num_env: int = 0
+    include_nxe: bool = False
+
+    @staticmethod
+    def build(model: str, genie_model: str = "G", num_env: int = 0):
+        if model == "rhe":
+            return ModelSpec("rhe", components=(("add", None),))
+        if model == "rhe_dom":
+            return ModelSpec("rhe_dom",
+                             components=(("add", None), ("dom", None)))
+        if model == "genie":
+            comps = [("add", None)]
+            include_nxe = False
+            if genie_model in ("G+GxE", "G+GxE+NxE"):
+                comps += [("add", e) for e in range(num_env)]
+            if genie_model == "G+GxE+NxE":
+                include_nxe = True
+            elif genie_model not in ("G", "G+GxE"):
+                raise ValueError("Unsupported GENIE genie_model type")
+            return ModelSpec("genie", genie_model, tuple(comps), num_env,
+                             include_nxe)
+        raise ValueError(f"Unsupported model {model}")
+
+
+@dataclass
+class RunConfig:
+    num_random_vec: int = 10
+    num_jack: int = 100
+    seed: int = 0
+    geno_impute_method: str = "binary"
+    dtype: str = "float32"          # float32 | float64 (CPU) | bfloat16
+    streaming: bool = False
+    get_trace: bool = False
+    trace_dir: str | None = None
+    device: str = "auto"            # auto | cpu | tpu
+
+
+_DTYPES = {"float32": jnp.float32, "float64": jnp.float64,
+           "bfloat16": jnp.float32}
+
+
+class Engine:
+    def __init__(self, data: DataBundle, spec: ModelSpec, cfg: RunConfig,
+                 log: Logger | None = None):
+        self.data = data
+        self.spec = spec
+        self.cfg = cfg
+        self.log = log or Logger(debug_mode=False)
+
+        self.K = data.num_bin
+        self.B = cfg.num_random_vec
+        self.J = cfg.num_jack
+        self.E_geno = len(spec.components) * self.K
+        self.num_nxe = data.num_env if spec.include_nxe else 0
+        self.E = self.E_geno + self.num_nxe
+        self.T_traits = data.num_traits
+        self.use_cov = data.cov is not None
+        self.b2 = self.B * (2 if self.use_cov else 1)
+        self.dtype = _DTYPES[cfg.dtype]
+        self.matmul_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else None
+
+        self._dev = self._pick_device(cfg.device)
+        self._build_static_arrays()
+        self._cache: dict[int, tuple] = {}
+        self._tot = None
+        self.M_mat = self._build_M_matrix()
+        self.trace_sums = None
+
+    # ------------------------------------------------------------------ setup
+    def _pick_device(self, device: str):
+        if device == "auto":
+            return jax.devices()[0]
+        for d in jax.devices():
+            if d.platform.startswith(device):
+                return d
+        self.log._debug(f"device {device} not available, using default")
+        return jax.devices()[0]
+
+    def _build_static_arrays(self):
+        d = self.data
+        put = lambda x: jax.device_put(
+            jnp.asarray(x, dtype=self.dtype), self._dev)
+        self.Y_resid = d.resid_pheno() if d.pheno is not None else np.zeros(
+            (d.num_indv, 0))
+        cols = [d.Z]
+        if self.use_cov:
+            cols.append(d.Uzb)
+        if self.T_traits:
+            cols.append(self.Y_resid)
+        self.P = put(np.concatenate(cols, axis=1))
+        self.Zd = put(d.Z)
+        self.Uzbd = put(d.Uzb) if self.use_cov else jnp.zeros_like(self.Zd)
+        self.Cd = put(d.cov) if self.use_cov else None
+        self.Qd = put(d.Q) if self.use_cov else None
+        self.envd = put(d.env) if d.num_env else None
+        self.q_last = put((self.Y_resid ** 2).sum(axis=0))
+        self.stoch_mask = jnp.asarray(self._stochastic_mask())
+        if self.num_nxe:
+            Yd = put(self.Y_resid)
+            self.nxe_XXP, self.nxe_yXXy = nxe_stats(
+                self.envd, self.Zd, self.Uzbd, Yd, self.b2, self.B,
+                self.dtype)
+
+    def _stochastic_mask(self) -> np.ndarray:
+        """Border-trace rows estimated stochastically: GENIE rows k >= num_bin
+        (reference genie.py:84-94); exact tr K = N elsewhere."""
+        mask = np.zeros(self.E, dtype=bool)
+        if self.spec.model == "genie":
+            mask[self.K:] = True
+        return mask
+
+    def _block_range(self, j: int):
+        """Contiguous SNP blocks; last absorbs remainder (reference base.py:362-379)."""
+        step = self.data.num_snp // self.J
+        start = j * step
+        end = start + step if j < self.J - 1 else self.data.num_snp
+        return start, end
+
+    def _m_last_row(self) -> np.ndarray:
+        lb = self.data.len_bin
+        rows = [lb for _ in self.spec.components]
+        out = np.concatenate(rows) if rows else np.zeros(0, dtype=np.int64)
+        if self.num_nxe:
+            out = np.concatenate([out, np.ones(self.num_nxe, dtype=np.int64)])
+        return out.astype(np.int64)
+
+    def _build_M_matrix(self) -> np.ndarray:
+        """M (J+1, E): leave-one-out SNP counts per estimate; last row =
+        full-genome counts (reference base.py:450, rhe.py:16, genie.py:79-82)."""
+        M = np.zeros((self.J + 1, self.E), dtype=np.int64)
+        last = self._m_last_row()
+        M[self.J] = last
+        for j in range(self.J):
+            s, e = self._block_range(j)
+            m_blk = self.data.annot[s:e].sum(axis=0)
+            row = np.concatenate([m_blk] * len(self.spec.components))
+            if self.num_nxe:
+                row = np.concatenate(
+                    [last[:self.E_geno] - row, np.ones(self.num_nxe,
+                                                       dtype=np.int64)])
+            else:
+                row = last - row
+            M[j] = row
+        return M
+
+    # ------------------------------------------------------------- block pass
+    def _binary_fill_values(self, j: int, geno_u8: np.ndarray) -> np.ndarray:
+        """Per-SNP HWE imputation draws, reproducing the reference's RNG
+        discipline exactly: reseed per block, one uniform draw per SNP
+        whether or not it has missing entries (base.py:265-289,510)."""
+        sums, nmiss = self.data.bed.col_stats(geno_u8)
+        n_obs = geno_u8.shape[1] - nmiss
+        p = np.divide(sums, n_obs, out=np.zeros_like(sums),
+                      where=n_obs > 0) * 0.5
+        rs = np.random.RandomState(self.cfg.seed)
+        rval = rs.random_sample(geno_u8.shape[0])
+        d0 = (1 - p) ** 2
+        d1 = 2 * p * (1 - p)
+        return np.where(rval < d0, 0.0,
+                        np.where(rval < d0 + d1, 1.0, 2.0))
+
+    def _load_block(self, j: int):
+        """Host-side block fetch -> (geno array, fill, packed flag)."""
+        s, e = self._block_range(j)
+        bed = self.data.bed
+        use_packed = (bed.keep_idx is None
+                      and self.cfg.geno_impute_method == "mean")
+        if use_packed:
+            geno = bed.read_packed_block(s, e)
+            fill = np.zeros(e - s)
+            return geno, fill, True
+        geno = bed.read_block(s, e)
+        if self.cfg.geno_impute_method == "binary":
+            fill = self._binary_fill_values(j, geno)
+        else:
+            fill = np.zeros(e - s)
+        return geno, fill, False
+
+    def _compute_block(self, j: int):
+        s, e = self._block_range(j)
+        geno, fill, packed = self._load_block(j)
+        annot_f = self.data.annot[s:e].astype(np.float32 if self.dtype !=
+                                              jnp.float64 else np.float64)
+        return block_stats(
+            jax.device_put(geno, self._dev),
+            jax.device_put(jnp.asarray(fill, self.dtype), self._dev),
+            jax.device_put(jnp.asarray(annot_f, self.dtype), self._dev),
+            self.P,
+            self.envd,
+            n_indiv=self.data.num_indv,
+            components=self.spec.components,
+            b2=self.b2,
+            packed=packed,
+            dtype=self.dtype,
+            matmul_dtype=self.matmul_dtype,
+        )
+
+    def precompute(self):
+        """Pass 1: accumulate totals (and cache block stats unless streaming)."""
+        t0 = time.time()
+        tot_XXP = jnp.zeros((self.E_geno, self.data.num_indv, self.b2),
+                            self.dtype)
+        tot_y = jnp.zeros((self.E_geno, max(self.T_traits, 0)), self.dtype)
+        for j in range(self.J):
+            XXP, yXXy, _ = self._compute_block(j)
+            tot_XXP = tot_XXP + XXP
+            tot_y = tot_y + yXXy
+            if not self.cfg.streaming:
+                self._cache[j] = (XXP, yXXy)
+            self.log._debug(f"jackknife {j} precompute done")
+        self._tot = (tot_XXP, tot_y)
+        self.log._debug(f"Precompute total time: {time.time() - t0}")
+
+    # --------------------------------------------------------------- assembly
+    def _loo_stats(self, j: int):
+        """Leave-one-out (or total, j == J) stats with NxE rows appended."""
+        tot_XXP, tot_y = self._tot
+        if j == self.J:
+            XXP, yXXy = tot_XXP, tot_y
+        else:
+            blk = self._cache.get(j)
+            if blk is None:
+                bXXP, byXXy, _ = self._compute_block(j)
+            else:
+                bXXP, byXXy = blk
+            XXP, yXXy = tot_XXP - bXXP, tot_y - byXXy
+        if self.num_nxe:
+            XXP = jnp.concatenate([XXP, self.nxe_XXP], axis=0)
+            yXXy = jnp.concatenate([yXXy, self.nxe_yXXy], axis=0)
+        return XXP, yXXy
+
+    def assemble(self):
+        """Pass 2: build T_all (J+1, E+1, E+1) and q_all (J+1, E+1, T) f64."""
+        J1 = self.J + 1
+        T_all = np.zeros((J1, self.E + 1, self.E + 1))
+        q_all = np.zeros((J1, self.E + 1, max(self.T_traits, 1)))
+        for j in range(J1):
+            XXP, yXXy = self._loo_stats(j)
+            M_j = jnp.asarray(self.M_mat[j])
+            T, q = assemble_Tq(
+                XXP, yXXy, M_j, self.Zd, self.Uzbd, self.Cd, self.Qd,
+                self.q_last, self.stoch_mask,
+                num_random_vec=self.B,
+                n_indiv=self.data.num_indv,
+                n_cov=self.data.cov.shape[1] if self.use_cov else 0,
+            )
+            T_all[j] = np.asarray(T, dtype=np.float64)
+            q_all[j] = np.asarray(q, dtype=np.float64)
+        self.T_all, self.q_all = T_all, q_all
+        if self.cfg.get_trace:
+            self.trace_sums = self._compute_trace_sums()
+        return T_all, q_all
+
+    def _compute_trace_sums(self):
+        """SUMRHE LD-sum matrix from assembled T (reference base.py:598-599)."""
+        n = self.data.num_indv
+        Mf = self.M_mat.astype(np.float64)
+        MM = Mf[:, :, None] * Mf[:, None, :]
+        tr = self.T_all[:, :self.E, :self.E]
+        return np.where(MM != 0, S.calc_lsum(tr, n, Mf[:, :, None],
+                                             Mf[:, None, :]), 0.0)
+
+    # -------------------------------------------------------------- estimate
+    def run_precompute_and_assemble(self):
+        self.precompute()
+        self.assemble()
+
+    def estimate(self, trait: int = 0, method: str = "QR"):
+        """Returns (sigma_jackknife (J, E+1), sigma_total (E+1,)).
+
+        num_jack == 1 substitutes the full-data sample for the single
+        jackknife sample (reference base.py:654-655)."""
+        q = self.q_all[:, :, trait]
+        T = self.T_all
+        if self.J == 1:
+            T = T.copy()
+            q = q.copy()
+            T[0], q[0] = T[1], q[1]
+        sigma = S.solve_all(T, q, method=method)
+        return sigma[:-1], sigma[-1]

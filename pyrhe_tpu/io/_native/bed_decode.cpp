@@ -1,0 +1,131 @@
+// Native PLINK .bed 2-bit decoder.
+//
+// Replaces the reference's `bed_reader` pip dependency (Rust-backed; see
+// reference pyrhe/src/base/base.py:10,100). PLINK .bed stores genotypes
+// SNP-major, 4 samples per byte, 2 bits each (low bits = first sample):
+//   0b00 = homozygous A1, 0b01 = missing, 0b10 = het, 0b11 = homozygous A2.
+//
+// We decode directly to the reference's *post-flip* dosage convention
+// (base.py:347-355 flips bed_reader's A1 counts 0<->2), i.e. the A2-allele
+// count: code00 -> 0, code10 -> 1, code11 -> 2, code01 -> 255 (missing).
+//
+// Build: g++ -O3 -shared -fPIC -o libbeddecode.so bed_decode.cpp
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// 256-entry LUT: each byte expands to 4 dosage bytes packed in a uint32.
+struct Lut {
+  uint32_t t[256];
+  Lut() {
+    static const uint8_t code2dose[4] = {0, 255, 1, 2};
+    for (int b = 0; b < 256; ++b) {
+      uint32_t v = 0;
+      for (int i = 0; i < 4; ++i) {
+        uint8_t code = (b >> (2 * i)) & 3;
+        v |= static_cast<uint32_t>(code2dose[code]) << (8 * i);
+      }
+      t[b] = v;
+    }
+  }
+};
+const Lut kLut;
+
+inline void decode_row(const uint8_t* src, int64_t n_orig, uint8_t* dst) {
+  // Decode one SNP's packed bytes to n_orig dosage bytes.
+  int64_t nb = n_orig / 4;
+  for (int64_t b = 0; b < nb; ++b) {
+    uint32_t v = kLut.t[src[b]];
+    std::memcpy(dst + 4 * b, &v, 4);
+  }
+  int64_t rem = n_orig - 4 * nb;
+  if (rem > 0) {
+    uint32_t v = kLut.t[src[nb]];
+    std::memcpy(dst + 4 * nb, &v, static_cast<size_t>(rem));
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode m SNPs (rows) of packed data into an (m, n_keep) uint8 dosage
+// matrix (255 = missing). keep_idx: sorted indices of individuals to keep,
+// or nullptr to keep all n_orig. Multithreaded over SNPs.
+void bed_decode_block(const uint8_t* packed, int64_t m, int64_t n_orig,
+                      const int64_t* keep_idx, int64_t n_keep, uint8_t* out,
+                      int n_threads) {
+  const int64_t bytes_per_snp = (n_orig + 3) / 4;
+  const int64_t n_out = keep_idx ? n_keep : n_orig;
+  if (n_threads < 1) n_threads = 1;
+  auto work = [&](int64_t lo, int64_t hi) {
+    std::vector<uint8_t> tmp;
+    if (keep_idx) tmp.resize(static_cast<size_t>(n_orig));
+    for (int64_t s = lo; s < hi; ++s) {
+      const uint8_t* src = packed + s * bytes_per_snp;
+      uint8_t* dst = out + s * n_out;
+      if (!keep_idx) {
+        decode_row(src, n_orig, dst);
+      } else {
+        decode_row(src, n_orig, tmp.data());
+        for (int64_t i = 0; i < n_keep; ++i) dst[i] = tmp[keep_idx[i]];
+      }
+    }
+  };
+  if (n_threads == 1 || m < 8) {
+    work(0, m);
+    return;
+  }
+  std::vector<std::thread> ts;
+  int64_t chunk = (m + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t lo = t * chunk;
+    int64_t hi = lo + chunk < m ? lo + chunk : m;
+    if (lo >= hi) break;
+    ts.emplace_back(work, lo, hi);
+  }
+  for (auto& th : ts) th.join();
+}
+
+// Per-SNP observed-dosage sums and missing counts over an (m, n) decoded
+// dosage matrix (255 = missing). Used to derive imputation fill values.
+void bed_col_stats(const uint8_t* dosage, int64_t m, int64_t n, double* sums,
+                   int64_t* nmiss) {
+  for (int64_t s = 0; s < m; ++s) {
+    const uint8_t* row = dosage + s * n;
+    int64_t sum = 0, miss = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      uint8_t v = row[i];
+      if (v == 255) {
+        ++miss;
+      } else {
+        sum += v;
+      }
+    }
+    sums[s] = static_cast<double>(sum);
+    nmiss[s] = miss;
+  }
+}
+
+// Pack an (m, n) uint8 dosage matrix (255 = missing) into PLINK .bed bytes
+// using the same A2-count convention the decoder emits.
+void bed_encode_block(const uint8_t* dosage, int64_t m, int64_t n,
+                      uint8_t* packed) {
+  static const uint8_t dose2code[3] = {0b00, 0b10, 0b11};
+  const int64_t bytes_per_snp = (n + 3) / 4;
+  for (int64_t s = 0; s < m; ++s) {
+    const uint8_t* row = dosage + s * n;
+    uint8_t* dst = packed + s * bytes_per_snp;
+    std::memset(dst, 0, static_cast<size_t>(bytes_per_snp));
+    for (int64_t i = 0; i < n; ++i) {
+      uint8_t v = row[i];
+      uint8_t code = (v == 255) ? 0b01 : dose2code[v];
+      dst[i / 4] |= static_cast<uint8_t>(code << ((i % 4) * 2));
+    }
+  }
+}
+
+}  // extern "C"

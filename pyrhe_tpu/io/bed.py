@@ -1,0 +1,177 @@
+"""PLINK .bed access: mmap + native C++ 2-bit decoder (NumPy fallback).
+
+Replaces the reference's `bed_reader` dependency (reference base.py:10,100)
+and its post-read 0<->2 allele flip (base.py:347-355): our decoder emits the
+flipped (A2-count) dosage convention directly. 255 marks a missing genotype.
+
+Two access paths:
+  - read_block(): decoded uint8 dosages on host (C++ lib, threaded)
+  - read_packed_block(): raw 2-bit packed bytes, for on-device decode
+    (16x less host->device traffic; see pyrhe_tpu.ops.decode).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_MAGIC = bytes([0x6C, 0x1B, 0x01])
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "_native")
+_LUT = np.array([0, 255, 1, 2], dtype=np.uint8)  # 2-bit code -> dosage
+
+_lib = None
+_lib_tried = False
+
+
+def _load_native():
+    """Compile (once) and load the C++ decoder; return None on any failure."""
+    global _lib, _lib_tried
+    if _lib_tried:
+        return _lib
+    _lib_tried = True
+    so_path = os.path.join(_NATIVE_DIR, "libbeddecode.so")
+    src_path = os.path.join(_NATIVE_DIR, "bed_decode.cpp")
+    try:
+        if (not os.path.exists(so_path)) or (
+            os.path.getmtime(so_path) < os.path.getmtime(src_path)
+        ):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+                 "-o", so_path, src_path],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(so_path)
+        lib.bed_decode_block.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int,
+        ]
+        lib.bed_col_stats.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.bed_encode_block.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        _lib = lib
+    except Exception as e:  # pragma: no cover - toolchain issues
+        print(f"[pyrhe_tpu] native bed decoder unavailable ({e}); "
+              f"using NumPy fallback", file=sys.stderr)
+        _lib = None
+    return _lib
+
+
+def decode_packed(packed: np.ndarray, n_indiv: int) -> np.ndarray:
+    """NumPy fallback: (m, bytes_per_snp) packed uint8 -> (m, n_indiv) dosage."""
+    m = packed.shape[0]
+    codes = (packed[:, :, None] >> np.array([0, 2, 4, 6], dtype=np.uint8)) & 3
+    return _LUT[codes.reshape(m, -1)[:, :n_indiv]]
+
+
+def encode_dosage(dosage: np.ndarray) -> np.ndarray:
+    """(m, n) uint8 dosage (255 = missing) -> (m, bytes_per_snp) packed bed bytes."""
+    dosage = np.ascontiguousarray(dosage, dtype=np.uint8)
+    m, n = dosage.shape
+    bps = (n + 3) // 4
+    lib = _load_native()
+    out = np.empty((m, bps), dtype=np.uint8)
+    if lib is not None:
+        lib.bed_encode_block(
+            dosage.ctypes.data, m, n, out.ctypes.data)
+        return out
+    # NumPy fallback
+    code = np.where(dosage == 255, 1, np.array([0, 2, 3], dtype=np.uint8)[
+        np.minimum(dosage, 2)]).astype(np.uint8)
+    padded = np.zeros((m, bps * 4), dtype=np.uint8)
+    padded[:, :n] = code
+    padded = padded.reshape(m, bps, 4)
+    out = (padded[:, :, 0] | (padded[:, :, 1] << 2) |
+           (padded[:, :, 2] << 4) | (padded[:, :, 3] << 6))
+    return out.astype(np.uint8)
+
+
+class BedFile:
+    """mmap'd SNP-major PLINK .bed with block decode.
+
+    Parameters
+    ----------
+    path: path to the .bed file
+    num_indiv: individuals in the companion .fam
+    num_snp: SNPs in the companion .bim
+    keep_idx: optional sorted original-row indices of individuals to KEEP
+        (i.e. after removing phenotype/covariate-missing individuals, like
+        np.delete(..., missing_indv) in reference base.py:343-344).
+    """
+
+    def __init__(self, path: str, num_indiv: int, num_snp: int,
+                 keep_idx: np.ndarray | None = None,
+                 num_threads: int | None = None):
+        self.path = path
+        self.num_indiv = num_indiv
+        self.num_snp = num_snp
+        self.bytes_per_snp = (num_indiv + 3) // 4
+        with open(path, "rb") as f:
+            magic = f.read(3)
+        if magic != _MAGIC:
+            raise ValueError(
+                f"{path}: bad .bed magic {magic!r} (expected SNP-major v1.00)")
+        expected = 3 + self.bytes_per_snp * num_snp
+        actual = os.path.getsize(path)
+        if actual < expected:
+            raise ValueError(
+                f"{path}: file too small ({actual} < {expected} bytes) for "
+                f"N={num_indiv}, M={num_snp}")
+        self._mm = np.memmap(path, dtype=np.uint8, mode="r", offset=3,
+                             shape=(num_snp, self.bytes_per_snp))
+        if keep_idx is not None:
+            keep_idx = np.ascontiguousarray(keep_idx, dtype=np.int64)
+        self.keep_idx = keep_idx
+        self.n_keep = num_indiv if keep_idx is None else len(keep_idx)
+        self.num_threads = num_threads or min(8, os.cpu_count() or 1)
+
+    def read_packed_block(self, start: int, end: int) -> np.ndarray:
+        """Raw packed bytes for SNPs [start, end): (m, bytes_per_snp) uint8."""
+        return np.asarray(self._mm[start:end])
+
+    def read_block(self, start: int, end: int) -> np.ndarray:
+        """Decoded dosages for SNPs [start, end): (m, n_keep) uint8, 255=missing."""
+        packed = np.ascontiguousarray(self._mm[start:end])
+        m = end - start
+        lib = _load_native()
+        if lib is not None:
+            out = np.empty((m, self.n_keep), dtype=np.uint8)
+            keep_ptr = (self.keep_idx.ctypes.data
+                        if self.keep_idx is not None else None)
+            lib.bed_decode_block(packed.ctypes.data, m, self.num_indiv,
+                                 keep_ptr, self.n_keep, out.ctypes.data,
+                                 self.num_threads)
+            return out
+        out = decode_packed(packed, self.num_indiv)
+        if self.keep_idx is not None:
+            out = out[:, self.keep_idx]
+        return np.ascontiguousarray(out)
+
+    def col_stats(self, dosage: np.ndarray):
+        """Per-SNP (observed dosage sum, missing count) for a decoded block."""
+        dosage = np.ascontiguousarray(dosage, dtype=np.uint8)
+        m, n = dosage.shape
+        lib = _load_native()
+        if lib is not None:
+            sums = np.empty(m, dtype=np.float64)
+            nmiss = np.empty(m, dtype=np.int64)
+            lib.bed_col_stats(dosage.ctypes.data, m, n,
+                              sums.ctypes.data, nmiss.ctypes.data)
+            return sums, nmiss
+        miss = dosage == 255
+        sums = np.where(miss, 0, dosage).sum(axis=1).astype(np.float64)
+        return sums, miss.sum(axis=1).astype(np.int64)
+
+
+def write_bed(path: str, dosage_snp_major: np.ndarray) -> None:
+    """Write a PLINK .bed from an (M, N) uint8 dosage matrix (255 = missing)."""
+    packed = encode_dosage(dosage_snp_major)
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(packed.tobytes())

@@ -1,0 +1,51 @@
+"""Test harness config: CPU backend with 8 virtual devices + x64 enabled,
+so sharding tests run on a virtual mesh and parity tests can use float64.
+Must run before jax initializes."""
+import os
+
+# Force CPU even when the session env points at a TPU (JAX_PLATFORMS=axon):
+# parity tests need float64 and the virtual 8-device mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from pyrhe_tpu.io import synth  # noqa: E402
+from pyrhe_tpu.io.bed import BedFile  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def small_dataset(tmp_path_factory):
+    """N=600, M=800 synthetic dataset with annot/pheno/cov/env files."""
+    d = tmp_path_factory.mktemp("data")
+    prefix = str(d / "test")
+    synth.make_dataset(prefix, 600, 800, seed=3, missing_rate=0.01)
+    annot1 = synth.make_annot(str(d / "single.annot"), 800, 1, seed=3)
+    annot8 = synth.make_annot(str(d / "multi.annot"), 800, 8, seed=4)
+    cov = synth.make_cov_file(str(d / "test.cov"), 600, num_cov=3, seed=3)
+    env = synth.make_env_file(str(d / "test.env"), 600, num_env=1, seed=3)
+    synth.simulate_pheno_file(prefix, prefix, [0.4], annot1, seed=5, cov=cov,
+                              env=env, sigma_gxe=0.15)
+    return {
+        "dir": str(d), "prefix": prefix, "annot1": annot1, "annot8": annot8,
+        "cov": cov, "env": env,
+        "annot1_path": str(d / "single.annot"),
+        "annot8_path": str(d / "multi.annot"),
+        "cov_path": str(d / "test.cov"), "env_path": str(d / "test.env"),
+        "pheno_path": prefix + ".pheno",
+    }
+
+
+def load_geno_nan(prefix, num_indiv, num_snp):
+    bed = BedFile(prefix + ".bed", num_indiv, num_snp)
+    g = bed.read_block(0, num_snp).astype(np.float64).T  # (N, M)
+    g[g == 255] = np.nan
+    return g

@@ -1,0 +1,124 @@
+"""Engine (float64, CPU) vs NumPy oracle parity on synthetic data.
+
+The oracle computes the reference algorithm the reference's way (gathered
+per-bin submatrices, per-slot accumulation); the engine uses the fused
+masked-bin formulation — agreement validates the redesign's math.
+"""
+import numpy as np
+import pytest
+
+from conftest import load_geno_nan
+from oracle_numpy import Oracle
+
+from pyrhe_tpu.core.data import load_dataset
+from pyrhe_tpu.core.engine import Engine, ModelSpec, RunConfig
+from pyrhe_tpu.core import solver as S
+
+N, M = 600, 800
+
+
+def run_engine(ds, model="rhe", genie_model="G", annot_key="annot1_path",
+               cov=False, env=False, J=8, B=8, seed=7, impute="binary",
+               streaming=False):
+    data = load_dataset(
+        ds["prefix"],
+        annot_file=ds[annot_key],
+        pheno_file=ds["pheno_path"],
+        cov_file=ds["cov_path"] if cov else None,
+        env_file=ds["env_path"] if env else None,
+        num_random_vec=B, seed=seed,
+    )
+    spec = ModelSpec.build(model, genie_model, data.num_env)
+    cfg = RunConfig(num_random_vec=B, num_jack=J, seed=seed,
+                    geno_impute_method=impute, dtype="float64",
+                    streaming=streaming)
+    eng = Engine(data, spec, cfg)
+    eng.run_precompute_and_assemble()
+    return data, eng
+
+
+def make_oracle(ds, data, model="rhe", genie_model="G", J=8, B=8, seed=7,
+                impute="binary", annot=None):
+    geno = load_geno_nan(ds["prefix"], N, M)
+    return Oracle(
+        geno, annot if annot is not None else ds["annot1"],
+        data.pheno, cov=data.cov, env=data.env,
+        model=model, genie_model=genie_model, num_random_vec=B, num_jack=J,
+        seed=seed, geno_impute_method=impute)
+
+
+@pytest.mark.parametrize("cov", [False, True])
+@pytest.mark.parametrize("impute", ["binary", "mean"])
+def test_rhe_single_bin(small_dataset, cov, impute):
+    data, eng = run_engine(small_dataset, cov=cov, impute=impute)
+    orc = make_oracle(small_dataset, data, impute=impute)
+    sj_o, st_o = orc.estimate()
+    sj_e, st_e = eng.estimate(0)
+    np.testing.assert_allclose(eng.M_mat, orc.Mmat)
+    np.testing.assert_allclose(st_e, st_o, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(sj_e, sj_o, rtol=1e-7, atol=1e-9)
+
+
+def test_rhe_8bin_cov(small_dataset):
+    data, eng = run_engine(small_dataset, annot_key="annot8_path", cov=True)
+    orc = make_oracle(small_dataset, data, annot=small_dataset["annot8"])
+    sj_o, st_o = orc.estimate()
+    sj_e, st_e = eng.estimate(0)
+    np.testing.assert_allclose(st_e, st_o, rtol=1e-7, atol=1e-9)
+    # downstream summaries
+    h2_e = S.h2_nonoverlapping(np.vstack([sj_e, st_e[None]]))
+    h2_o = orc.h2_nonoverlap(sj_o, st_o)
+    np.testing.assert_allclose(h2_e, h2_o, rtol=1e-7, atol=1e-9)
+    enr_e = S.enrichment(h2_e, eng.M_mat)
+    enr_o = orc.enrichment(h2_o)
+    np.testing.assert_allclose(enr_e, enr_o, rtol=1e-6, atol=1e-8)
+    se_e = S.jackknife_se(sj_e, eng.J)
+    se_o = orc.jackknife_se(sj_o, orc.J)
+    np.testing.assert_allclose(se_e, se_o, rtol=1e-6, atol=1e-10)
+
+
+def test_rhe_dom(small_dataset):
+    data, eng = run_engine(small_dataset, model="rhe_dom", cov=True)
+    orc = make_oracle(small_dataset, data, model="rhe_dom")
+    sj_o, st_o = orc.estimate()
+    sj_e, st_e = eng.estimate(0)
+    np.testing.assert_allclose(st_e, st_o, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(sj_e, sj_o, rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("genie_model", ["G", "G+GxE", "G+GxE+NxE"])
+def test_genie(small_dataset, genie_model):
+    data, eng = run_engine(small_dataset, model="genie",
+                           genie_model=genie_model, cov=True, env=True)
+    orc = make_oracle(small_dataset, data, model="genie",
+                      genie_model=genie_model)
+    sj_o, st_o = orc.estimate()
+    sj_e, st_e = eng.estimate(0)
+    np.testing.assert_allclose(eng.M_mat, orc.Mmat)
+    np.testing.assert_allclose(st_e, st_o, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(sj_e, sj_o, rtol=1e-6, atol=1e-8)
+    # trace-adjusted sigmas use the T border column (reference genie.py:128-131)
+    np.testing.assert_allclose(eng.T_all[:, :, eng.E][-1],
+                               orc.T_border[-1], rtol=1e-7)
+
+
+def test_streaming_equals_cached(small_dataset):
+    _, eng_c = run_engine(small_dataset, cov=True, streaming=False)
+    _, eng_s = run_engine(small_dataset, cov=True, streaming=True)
+    np.testing.assert_allclose(eng_c.T_all, eng_s.T_all, rtol=0, atol=0)
+    np.testing.assert_allclose(eng_c.q_all, eng_s.q_all, rtol=0, atol=0)
+
+
+def test_float32_close_to_float64(small_dataset):
+    data64, eng64 = run_engine(small_dataset, cov=True)
+    data = load_dataset(small_dataset["prefix"],
+                        annot_file=small_dataset["annot1_path"],
+                        pheno_file=small_dataset["pheno_path"],
+                        cov_file=small_dataset["cov_path"],
+                        num_random_vec=8, seed=7)
+    cfg = RunConfig(num_random_vec=8, num_jack=8, seed=7, dtype="float32")
+    eng32 = Engine(data, ModelSpec.build("rhe"), cfg)
+    eng32.run_precompute_and_assemble()
+    _, st64 = eng64.estimate(0)
+    _, st32 = eng32.estimate(0)
+    np.testing.assert_allclose(st32, st64, rtol=2e-3, atol=2e-4)
