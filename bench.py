@@ -1,0 +1,108 @@
+"""Benchmark: genotype randomized-matvec throughput per chip.
+
+Times the production pass-1 shape — a jitted scan over packed .bed blocks
+resident in HBM, each fused decode+impute+standardize+moment-matmul,
+accumulating totals — and prints ONE JSON line:
+
+  {"metric": "genotype_matvec_gflops_per_chip", "value": ..., "unit":
+   "GFLOP/s", "vs_baseline": ...}
+
+Timing discipline: the TPU tunnel used here executes asynchronously and
+`block_until_ready` can return early, so the measurement (a) accumulates
+all block results into one carry inside a single jitted scan, (b) pulls
+the carry to host to synchronize, and (c) reports the MARGINAL rate
+between a short and a long scan to cancel dispatch/tunnel latency.
+
+FLOP accounting (useful flops only): 2*N*m*(Bp + K*b2) per block.
+
+Baseline: PyRHE publishes wall-clock only (BASELINE.md). Its best
+published config — N=200k, k=10, 1 bin, J=100, 5 workers, 450.53 s
+(plotting_200k.ipynb cell 6) on ~500k UKBB SNPs — corresponds to
+4*N*M*k ≈ 4e12 FLOP / 450.53 s ≈ 8.9 GFLOP/s. vs_baseline = value / 8.9.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32"):
+    import jax
+    import jax.numpy as jnp
+
+    from pyrhe_tpu.ops.moments import block_stats_core
+
+    T = 1
+    b2 = B
+    Bp = b2 + T
+    rng = np.random.default_rng(0)
+    dev = jax.devices()[0]
+
+    annot = np.zeros((m, K), np.float32)
+    annot[np.arange(m), rng.integers(0, K, m)] = 1.0
+    annot_d = jax.device_put(annot, dev)
+    fill = jax.device_put(np.zeros(m, np.float32), dev)
+    P = jax.device_put(rng.normal(size=(N, Bp)).astype(np.float32), dev)
+    matmul_dtype = jnp.bfloat16 if dtype_mode == "bfloat16" else None
+
+    def make_scan(n_blocks):
+        blocks = jax.device_put(rng.integers(
+            0, 256, size=(n_blocks, m, (N + 3) // 4), dtype=np.uint8), dev)
+
+        @jax.jit
+        def run(blocks):
+            def body(carry, blk):
+                XXP, yXXy, _ = block_stats_core(
+                    blk, fill, annot_d, P, None, n_indiv=N,
+                    components=(("add", None),), b2=b2, packed=True,
+                    dtype=jnp.float32, matmul_dtype=matmul_dtype)
+                return (carry[0] + XXP, carry[1] + yXXy), None
+
+            init = (jnp.zeros((K, N, b2), jnp.float32),
+                    jnp.zeros((K, T), jnp.float32))
+            (tot, toty), _ = jax.lax.scan(body, init, blocks)
+            return jnp.sum(tot) + jnp.sum(toty)
+
+        return run, blocks
+
+    times = {}
+    for nb in (n_blocks_short, n_blocks_long):
+        run, blocks = make_scan(nb)
+        float(run(blocks))  # warmup/compile + sync
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            s = float(run(blocks))   # host pull = true sync
+            best = min(best, time.perf_counter() - t0)
+        times[nb] = best
+        assert np.isfinite(s)
+    marginal = (times[n_blocks_long] - times[n_blocks_short]) / (
+        n_blocks_long - n_blocks_short)
+    flops_per_block = 2.0 * N * m * (Bp + K * b2)
+    return flops_per_block / marginal / 1e9
+
+
+def main():
+    import jax
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    mode = os.environ.get("BENCH_DTYPE", "float32")
+    if on_tpu:
+        gflops = bench_scan(131072, 2048, 1, 10, 8, 32, mode)
+    else:
+        gflops = bench_scan(8192, 512, 1, 10, 2, 6, mode)
+
+    baseline_gflops = 8.9  # PyRHE CPU-equivalent, see module docstring
+    print(json.dumps({
+        "metric": "genotype_matvec_gflops_per_chip",
+        "value": round(gflops, 2),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(gflops / baseline_gflops, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -309,6 +309,73 @@ class Engine:
         return np.where(MM != 0, S.calc_lsum(tr, n, Mf[:, :, None],
                                              Mf[:, None, :]), 0.0)
 
+    # ------------------------------------------------------------- sharded
+    def run_sharded(self, mesh=None):
+        """Full-batch multi-device pass: all blocks stacked (padded to
+        uniform m), sharded over the mesh 'jack' axis; one psum merges
+        totals. Use when the packed genotype fits in aggregate HBM."""
+        from ..parallel.mesh import make_mesh, make_sharded_step, shard_blocks
+
+        mesh = mesh or make_mesh()
+        D = mesh.devices.size
+        if self.J % D != 0:
+            raise ValueError(f"num_jack={self.J} not divisible by mesh "
+                             f"size {D}")
+        d = self.data
+        # last block absorbs the remainder (base.py:362-379), so pad to its size
+        m_pad = d.num_snp - (self.J - 1) * (d.num_snp // self.J)
+        use_packed = (d.bed.keep_idx is None
+                      and self.cfg.geno_impute_method == "mean")
+        W = d.bed.bytes_per_snp if use_packed else d.num_indv
+        np_dt = np.float64 if self.dtype == jnp.float64 else np.float32
+
+        genos = np.zeros((self.J, m_pad, W), dtype=np.uint8)
+        fills = np.zeros((self.J, m_pad), dtype=np_dt)
+        annots = np.zeros((self.J, m_pad, self.K), dtype=np_dt)
+        for j in range(self.J):
+            s, e = self._block_range(j)
+            geno, fill, packed = self._load_block(j)
+            genos[j, :e - s] = geno
+            fills[j, :e - s] = fill
+            annots[j, :e - s] = d.annot[s:e]
+
+        step = make_sharded_step(
+            mesh, n_indiv=d.num_indv, components=self.spec.components,
+            b2=self.b2, num_random_vec=self.B, packed=use_packed,
+            n_cov=d.cov.shape[1] if self.use_cov else 0,
+            num_nxe=self.num_nxe, dtype=self.dtype,
+            matmul_dtype=self.matmul_dtype)
+
+        geno_s, fill_s, annot_s, Mloo_s = shard_blocks(
+            mesh, (genos, fills, annots, self.M_mat[:self.J]))
+        zeros = lambda *s: jnp.zeros(s, self.dtype)
+        T_traits = max(self.T_traits, 0)
+        nxe_XXP = (self.nxe_XXP if self.num_nxe
+                   else zeros(0, d.num_indv, self.b2))
+        nxe_y = self.nxe_yXXy if self.num_nxe else zeros(0, T_traits)
+        from jax.sharding import NamedSharding, PartitionSpec
+        repl = NamedSharding(mesh, PartitionSpec())
+        rput = lambda x: jax.device_put(x, repl)
+        T_loc, q_loc, T_tot, q_tot = step(
+            geno_s, fill_s, annot_s, Mloo_s,
+            rput(jnp.asarray(self.M_mat[self.J])),
+            rput(self.P),
+            rput(self.envd if d.num_env else zeros(d.num_indv, 1)),
+            rput(self.Zd), rput(self.Uzbd),
+            rput(self.Cd if self.use_cov else zeros(d.num_indv, 1)),
+            rput(self.Qd if self.use_cov else zeros(1, 1)),
+            rput(self.q_last), rput(self.stoch_mask), rput(nxe_XXP),
+            rput(nxe_y))
+        self.T_all = np.concatenate(
+            [np.asarray(T_loc, np.float64),
+             np.asarray(T_tot, np.float64)[None]], axis=0)
+        self.q_all = np.concatenate(
+            [np.asarray(q_loc, np.float64),
+             np.asarray(q_tot, np.float64)[None]], axis=0)
+        if self.cfg.get_trace:
+            self.trace_sums = self._compute_trace_sums()
+        return self.T_all, self.q_all
+
     # -------------------------------------------------------------- estimate
     def run_precompute_and_assemble(self):
         self.precompute()

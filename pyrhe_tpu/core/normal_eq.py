@@ -55,8 +55,7 @@ def project_cov(C, Q, XXz):
     return jnp.einsum("nc,ecb->enb", C, t)
 
 
-@partial(jax.jit, static_argnames=("num_random_vec", "n_indiv", "n_cov"))
-def assemble_Tq(
+def assemble_Tq_core(
     XXP,          # (E, N, b2) leave-one-out moment stats
     yXXy,         # (E, T) leave-one-out quadratic forms
     M,            # (E,) leave-one-out SNP counts
@@ -105,3 +104,8 @@ def assemble_Tq(
     q_top = jnp.where(Mf[:, None] != 0, yXXy / Msafe[:, None], 0.0)
     q = jnp.concatenate([q_top, q_last[None, :].astype(dtype)], axis=0)
     return T, q
+
+
+assemble_Tq = partial(
+    jax.jit, static_argnames=("num_random_vec", "n_indiv", "n_cov"),
+)(assemble_Tq_core)

@@ -34,10 +34,16 @@ from .standardize import encode_dominance, standardize_additive
 
 
 def _dot(a, b, matmul_dtype, out_dtype):
+    # TPU matmuls on f32 inputs default to single-pass bf16 on the MXU;
+    # request HIGHEST so the f32 path is true f32. The explicit bf16 speed
+    # mode opts back into the fast path.
     if matmul_dtype is not None:
         a = a.astype(matmul_dtype)
         b = b.astype(matmul_dtype)
-    return jnp.dot(a, b, preferred_element_type=out_dtype)
+        prec = None
+    else:
+        prec = jax.lax.Precision.HIGHEST
+    return jnp.dot(a, b, preferred_element_type=out_dtype, precision=prec)
 
 
 def _component_stats(S_t, P, annot_f, env_col, b2, matmul_dtype, out_dtype):
@@ -60,12 +66,7 @@ def _component_stats(S_t, P, annot_f, env_col, b2, matmul_dtype, out_dtype):
     return XXP, yXXy
 
 
-@partial(
-    jax.jit,
-    static_argnames=("n_indiv", "components", "b2", "packed", "dtype",
-                     "matmul_dtype"),
-)
-def block_stats(
+def block_stats_core(
     geno,           # (m, bytes_per_snp) packed u8 OR (m, N) dosage u8
     fill,           # (m,) imputation fill values
     annot_f,        # (m, K) float annot block
@@ -79,7 +80,10 @@ def block_stats(
     dtype=jnp.float32,
     matmul_dtype=None,
 ):
-    """Returns (XXP (n_comp*K, N, b2), yXXy (n_comp*K, T), M (n_comp*K,))."""
+    """Returns (XXP (n_comp*K, N, b2), yXXy (n_comp*K, T), M (n_comp*K,)).
+
+    Un-jitted core, reused under jit (block_stats) and under
+    vmap/shard_map in the multi-device path (pyrhe_tpu.parallel)."""
     if packed:
         g, miss = decode_packed_jnp(geno, n_indiv, dtype)
     else:
@@ -103,6 +107,13 @@ def block_stats(
     M_blk = jnp.sum(annot_f, axis=0).astype(jnp.int32)
     M_all = jnp.concatenate([M_blk] * len(components))
     return jnp.concatenate(XXPs, axis=0), jnp.concatenate(ys, axis=0), M_all
+
+
+block_stats = partial(
+    jax.jit,
+    static_argnames=("n_indiv", "components", "b2", "packed", "dtype",
+                     "matmul_dtype"),
+)(block_stats_core)
 
 
 def nxe_stats(env, Z, Uzb, Y, b2, B, dtype=jnp.float32):

@@ -3,16 +3,18 @@ so sharding tests run on a virtual mesh and parity tests can use float64.
 Must run before jax initializes."""
 import os
 
-# Force CPU even when the session env points at a TPU (JAX_PLATFORMS=axon):
-# parity tests need float64 and the virtual 8-device mesh.
+# Force an 8-virtual-device CPU backend even when the session env points at
+# a TPU: parity tests need float64 and a mesh. The TPU plugin's
+# sitecustomize initializes backends at interpreter start, so they must be
+# torn down before the cpu/x64/device-count configs can apply.
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+from jax.extend.backend import clear_backends  # noqa: E402
 
+clear_backends()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
