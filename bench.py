@@ -46,7 +46,8 @@ def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32"):
     annot_d = jax.device_put(annot, dev)
     fill = jax.device_put(np.zeros(m, np.float32), dev)
     P = jax.device_put(rng.normal(size=(N, Bp)).astype(np.float32), dev)
-    matmul_dtype = jnp.bfloat16 if dtype_mode == "bfloat16" else None
+    mm_mode = {"float32": "split2", "bfloat16": "bf16",
+               "exact": "exact"}[dtype_mode]
 
     def make_scan(n_blocks):
         blocks = jax.device_put(rng.integers(
@@ -58,7 +59,7 @@ def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32"):
                 XXP, yXXy, _ = block_stats_core(
                     blk, fill, annot_d, P, None, n_indiv=N,
                     components=(("add", None),), b2=b2, packed=True,
-                    dtype=jnp.float32, matmul_dtype=matmul_dtype)
+                    dtype=jnp.float32, mm_mode=mm_mode)
                 return (carry[0] + XXP, carry[1] + yXXy), None
 
             init = (jnp.zeros((K, N, b2), jnp.float32),
@@ -87,6 +88,9 @@ def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32"):
 
 def main():
     import jax
+
+    from pyrhe_tpu.utils.jaxcache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
 
     on_tpu = jax.devices()[0].platform != "cpu"
     mode = os.environ.get("BENCH_DTYPE", "float32")

@@ -82,6 +82,7 @@ class RunConfig:
     get_trace: bool = False
     trace_dir: str | None = None
     device: str = "auto"            # auto | cpu | tpu
+    mm_mode: str = "auto"           # auto | exact | split2 | bf16
 
 
 _DTYPES = {"float32": jnp.float32, "float64": jnp.float64,
@@ -91,6 +92,8 @@ _DTYPES = {"float32": jnp.float32, "float64": jnp.float64,
 class Engine:
     def __init__(self, data: DataBundle, spec: ModelSpec, cfg: RunConfig,
                  log: Logger | None = None):
+        from ..utils.jaxcache import enable_persistent_compilation_cache
+        enable_persistent_compilation_cache()
         self.data = data
         self.spec = spec
         self.cfg = cfg
@@ -106,7 +109,9 @@ class Engine:
         self.use_cov = data.cov is not None
         self.b2 = self.B * (2 if self.use_cov else 1)
         self.dtype = _DTYPES[cfg.dtype]
-        self.matmul_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else None
+        self.mm_mode = (cfg.mm_mode if cfg.mm_mode != "auto" else
+                {"float64": "exact", "float32": "split2",
+                 "bfloat16": "bf16"}[cfg.dtype])
 
         self._dev = self._pick_device(cfg.device)
         self._build_static_arrays()
@@ -241,7 +246,7 @@ class Engine:
             b2=self.b2,
             packed=packed,
             dtype=self.dtype,
-            matmul_dtype=self.matmul_dtype,
+            mm_mode=self.mm_mode,
         )
 
     def precompute(self):
@@ -280,6 +285,7 @@ class Engine:
 
     def assemble(self):
         """Pass 2: build T_all (J+1, E+1, E+1) and q_all (J+1, E+1, T) f64."""
+        t0 = time.time()
         J1 = self.J + 1
         T_all = np.zeros((J1, self.E + 1, self.E + 1))
         q_all = np.zeros((J1, self.E + 1, max(self.T_traits, 1)))
@@ -296,6 +302,7 @@ class Engine:
             T_all[j] = np.asarray(T, dtype=np.float64)
             q_all[j] = np.asarray(q, dtype=np.float64)
         self.T_all, self.q_all = T_all, q_all
+        self.log._debug(f"Assemble total time: {time.time() - t0}")
         if self.cfg.get_trace:
             self.trace_sums = self._compute_trace_sums()
         return T_all, q_all
@@ -344,7 +351,7 @@ class Engine:
             b2=self.b2, num_random_vec=self.B, packed=use_packed,
             n_cov=d.cov.shape[1] if self.use_cov else 0,
             num_nxe=self.num_nxe, dtype=self.dtype,
-            matmul_dtype=self.matmul_dtype)
+            mm_mode=self.mm_mode)
 
         geno_s, fill_s, annot_s, Mloo_s = shard_blocks(
             mesh, (genos, fills, annots, self.M_mat[:self.J]))

@@ -15,6 +15,14 @@ Behavioral spec: reference base.py:568-628 (setup_lhs_rhs_jackknife):
 The covariate-projected stats UXXz = C Q C^T XXz are DERIVED here by
 linearity instead of being accumulated per block like the reference
 (base.py:407-412) — projection commutes with the leave-one-out sums.
+
+Implementation notes: all length-(N*B) contractions are multiply+reduce
+(vmap'd), NOT dot products — XLA's dot lowering accumulates long
+reductions at reduced precision (measured ~1.5e-7 relative on CPU
+float64), which is catastrophic for these positive quadratic forms. T is
+assembled by concatenation rather than scatter updates: scan/scatter-
+heavy small graphs triggered pathological (minutes-long) compiles on the
+remote-compiled TPU backend.
 """
 from __future__ import annotations
 
@@ -25,17 +33,9 @@ import jax.numpy as jnp
 
 
 def _gram(A, B):
-    """(E, N, B), (F, N, B) -> (E, F) pairwise inner products.
-
-    Computed as multiply+reduce via lax.map instead of a dot contraction:
-    XLA's dot lowering accumulates long reductions at reduced precision
-    (measured ~1.5e-7 relative on CPU float64), which is catastrophic for
-    these positive quadratic forms; reduce-based sums are exact to ulps.
-    lax.map keeps the fused intermediate at (F, N, B) per row.
-    """
-    def row(a):
-        return jnp.sum(a[None, :, :] * B, axis=(1, 2))
-    return jax.lax.map(row, A)
+    """(E, N, B), (F, N, B) -> (E, F) pairwise inner products via
+    vmap'd multiply+reduce."""
+    return jax.vmap(lambda a: jnp.sum(a[None, :, :] * B, axis=(1, 2)))(A)
 
 
 def _dotvec(A, V):
@@ -48,10 +48,9 @@ def project_cov(C, Q, XXz):
 
     The length-N contraction uses multiply+reduce (see _gram); the tiny
     length-ncov contractions use einsum."""
-    def row(x):  # x: (N, B) -> C^T x: (ncov, B)
-        return jnp.sum(C[:, :, None] * x[:, None, :], axis=0)
-    t = jax.lax.map(row, XXz)                    # (E, ncov, B)
-    t = jnp.einsum("cd,edb->ecb", Q, t)
+    t = jax.vmap(
+        lambda x: jnp.sum(C[:, :, None] * x[:, None, :], axis=0))(XXz)
+    t = jnp.einsum("cd,edb->ecb", Q, t)            # (E, ncov, B)
     return jnp.einsum("nc,ecb->enb", C, t)
 
 
@@ -70,7 +69,6 @@ def assemble_Tq_core(
     n_indiv: int,
     n_cov: int,
 ):
-    E = XXP.shape[0]
     B = num_random_vec
     dtype = XXP.dtype
     XXz = XXP[:, :, :B]
@@ -95,11 +93,11 @@ def assemble_Tq_core(
     if C is not None:
         btr = btr - _dotvec(XXz, Uzb) / (B * Msafe)
 
-    T = jnp.zeros((E + 1, E + 1), dtype)
-    T = T.at[:E, :E].set(T_top)
-    T = T.at[:E, E].set(btr)
-    T = T.at[E, :E].set(btr)
-    T = T.at[E, E].set(float(n_indiv - n_cov))
+    corner = jnp.asarray([[float(n_indiv - n_cov)]], dtype)
+    T = jnp.concatenate([
+        jnp.concatenate([T_top, btr[:, None]], axis=1),
+        jnp.concatenate([btr[None, :], corner], axis=1),
+    ], axis=0)
 
     q_top = jnp.where(Mf[:, None] != 0, yXXy / Msafe[:, None], 0.0)
     q = jnp.concatenate([q_top, q_last[None, :].astype(dtype)], axis=0)

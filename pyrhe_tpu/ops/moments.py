@@ -1,26 +1,36 @@
 """Fused per-block randomized-moment computation — the hot path.
 
-For one jackknife block of m SNPs this computes, in two MXU matmuls, every
-quadratic-form statistic the RHE family needs:
+For one jackknife block of m SNPs this computes every quadratic-form
+statistic the RHE family needs (all bins, all components, all probes, all
+traits) from TWO wide matmuls on the RAW dosage matrix:
 
-    U   = X_blk^T P            (m, Bp)   P = [Z | Uz | y~ columns]
-    XXP = X_blk (A_k ⊙ U)      per annotation bin k, (K, N, B+Bcov)
-    yXXy[k,t] = sum_{c in bin k} U[c, y_t]^2
+    GP  = g  @ [1 | P | env_e ⊙ P ...]          (m, 1 + Bp*V)
+    XXG = g^T @ [per-component masked/scaled U]  (N, Q)
 
-compared to the reference's per-(bin, probe) matvec loop
-(reference rhe.py:13-22 + base.py:403-417 + mat_mul.py:17-31, which round-
-trips numpy->torch->device per matvec). Batching all probes, the Uz probe
-columns, and every trait's residualized phenotype into one probe matrix P
-turns J*K*num_random_vec matvecs into 2 matmuls per block.
+Standardization is an affine map S = D(g - mean ⊗ 1), so it FOLDS into
+rank-1 corrections around these matmuls instead of materializing the
+standardized (m, N) matrix (reference standardize_geno base.py:291-296
+materializes it; our first implementation did too and was HBM-bound on
+it). The appended ones-column makes column sums — hence means and
+variances — free byproducts of the first matmul. Dominance encoding is
+affine in (g, g^2): enc = (mean+1) ⊙ g - g^2 (reference rhe_dom.py:23-41),
+so RHE-DOM adds only a g^2 matmul pair. GxE statistics are env-scaled
+probe columns (diag(env) X has X_e^T P = X^T (env ⊙ P), reference
+genie.py:61-75 materializes X ⊙ env instead).
 
-Gene-environment (GxE) statistics reuse the SAME standardized genotype block:
-diag(env) X has X_e^T P = X^T (env ⊙ P), so a GxE component is just a
-row-scaled probe matrix (reference genie.py:61-75 materializes X ⊙ env
-instead). Dominance components re-encode the dosages on device
-(reference rhe_dom.py:23-68).
+Precision modes (mm_mode): dosages are small integers, EXACT in bfloat16,
+so only the probe-side operand limits accuracy:
+  - "exact":  full-precision dot in the working dtype (CPU float64 parity)
+  - "split2": probe operand split into bf16 hi+lo, two MXU passes with f32
+              accumulation (~1e-5 relative — beyond statistical noise) —
+              the TPU float32 default, ~3x cheaper than XLA's 6-pass
+              HIGHEST since the dosage side needs no splitting
+  - "bf16":   single pass (~1e-3 relative), fastest
 
-Annotation bins are handled by masking U with the (m, K) annot block —
-static shapes, no per-bin column gathers (XLA/TPU-friendly).
+Compared to the reference's per-(bin, probe) matvec loop (rhe.py:13-22 +
+base.py:403-417 + mat_mul.py:17-48 with per-call numpy->torch->device
+round trips), one block here is two MXU matmuls at ~m*N bf16 bytes of HBM
+traffic.
 """
 from __future__ import annotations
 
@@ -30,40 +40,31 @@ import jax
 import jax.numpy as jnp
 
 from .decode import decode_packed_jnp, dosage_from_u8, impute
-from .standardize import encode_dominance, standardize_additive
 
 
-def _dot(a, b, matmul_dtype, out_dtype):
-    # TPU matmuls on f32 inputs default to single-pass bf16 on the MXU;
-    # request HIGHEST so the f32 path is true f32. The explicit bf16 speed
-    # mode opts back into the fast path.
-    if matmul_dtype is not None:
-        a = a.astype(matmul_dtype)
-        b = b.astype(matmul_dtype)
-        prec = None
-    else:
-        prec = jax.lax.Precision.HIGHEST
-    return jnp.dot(a, b, preferred_element_type=out_dtype, precision=prec)
+def _mm(a, b, mm_mode, out_dtype):
+    """Matmul with dosage-exact mixed precision. `a` holds small integers
+    (exact in bf16); `b` is the probe-side operand."""
+    if mm_mode == "exact":
+        return jnp.dot(a.astype(out_dtype), b.astype(out_dtype),
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=out_dtype)
+    if mm_mode == "bf16":
+        return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    if mm_mode == "split2":
+        ab = a.astype(jnp.bfloat16)
+        hi = b.astype(jnp.bfloat16)
+        lo = (b - hi.astype(b.dtype)).astype(jnp.bfloat16)
+        return (jnp.dot(ab, hi, preferred_element_type=jnp.float32)
+                + jnp.dot(ab, lo, preferred_element_type=jnp.float32)
+                ).astype(out_dtype)
+    raise ValueError(f"unknown mm_mode {mm_mode}")
 
 
-def _component_stats(S_t, P, annot_f, env_col, b2, matmul_dtype, out_dtype):
-    """Stats for one variance component given its standardized X^T (m, N)."""
-    m, _ = S_t.shape
-    K = annot_f.shape[1]
-    Pr = P if env_col is None else P * env_col[:, None]
-    U = _dot(S_t, Pr, matmul_dtype, out_dtype)            # (m, Bp)
-    Uxx = U[:, :b2]
-    W = (Uxx[:, None, :] * annot_f[:, :, None]).reshape(m, K * b2)
-    XXP = _dot(S_t.T, W, matmul_dtype, out_dtype)         # (N, K*b2)
-    if env_col is not None:
-        XXP = XXP * env_col[:, None]
-    XXP = XXP.reshape(-1, K, b2).transpose(1, 0, 2)       # (K, N, b2)
-    Uy = U[:, b2:]                                        # (m, T)
-    # multiply+reduce, not a dot: positive sums expose XLA's reduced-
-    # precision dot accumulation (see core/normal_eq._gram)
-    Uy2 = (Uy * Uy).astype(out_dtype)
-    yXXy = jnp.sum(Uy2[:, None, :] * annot_f[:, :, None], axis=0)  # (K, T)
-    return XXP, yXXy
+def _colsum(x):
+    """Accurate reduction (mul+reduce, not dot — see normal_eq._gram)."""
+    return jnp.sum(x, axis=0)
 
 
 def block_stats_core(
@@ -78,7 +79,7 @@ def block_stats_core(
     b2: int,             # probe columns that participate in XXP (B or 2B)
     packed: bool,
     dtype=jnp.float32,
-    matmul_dtype=None,
+    mm_mode: str = "exact",
 ):
     """Returns (XXP (n_comp*K, N, b2), yXXy (n_comp*K, T), M (n_comp*K,)).
 
@@ -89,30 +90,99 @@ def block_stats_core(
     else:
         g, miss = dosage_from_u8(geno, dtype)
     g = impute(g, miss, fill)
-    S_t, mean = standardize_additive(g)
+    if mm_mode != "exact":
+        g = g.astype(jnp.bfloat16)  # dosages are exact in bf16
 
-    S_dom = None
-    if any(kind == "dom" for kind, _ in components):
-        S_dom = encode_dominance(g, mean)
+    m, N = g.shape
+    K = annot_f.shape[1]
+    Bp = P.shape[1]
+    T = Bp - b2
+    need_dom = any(kind == "dom" for kind, _ in components)
+    g2 = (g * g) if need_dom else None
 
-    XXPs, ys = [], []
+    # ---- stage 1: one wide matmul over all env variants + ones column ----
+    variants = []
+    for _, eidx in components:
+        if eidx not in variants:
+            variants.append(eidx)
+    cols = [jnp.ones((N, 1), dtype)]
+    for v in variants:
+        cols.append(P if v is None else P * env[:, v][:, None].astype(P.dtype))
+    C_all = jnp.concatenate(cols, axis=1)          # (N, 1 + Bp*V)
+    csum = _colsum(C_all)                          # exact column sums
+
+    GP = _mm(g, C_all, mm_mode, dtype)             # (m, 1 + Bp*V)
+    G2P = _mm(g2, C_all, mm_mode, dtype) if need_dom else None
+
+    mean = GP[:, 0] / n_indiv
+    var_add = mean * (1.0 - 0.5 * mean)
+    d_add = jnp.where(var_add > 0,
+                      jax.lax.rsqrt(jnp.maximum(var_add, 1e-30)), 0.0)
+    if need_dom:
+        mean2 = G2P[:, 0] / n_indiv
+        maf = mean / 2.0
+        denom = 2.0 * maf * (1.0 - maf)
+        d_dom = jnp.where(denom > 0, 1.0 / jnp.maximum(denom, 1e-30), 0.0)
+        alpha = mean + 1.0                         # enc = alpha*g - g^2
+        mean_enc = alpha * mean - mean2
+
+    # ---- per-component U, yXXy, and stage-2 right-hand operands ----
+    ys, Y_g_list, Y_g2_list, rank1_list, scales = [], [], [], [], []
     for kind, eidx in components:
-        S_c = S_t if kind == "add" else S_dom
-        env_col = env[:, eidx] if eidx is not None else None
-        XXP, yXXy = _component_stats(S_c, P, annot_f, env_col, b2,
-                                     matmul_dtype, dtype)
-        XXPs.append(XXP)
-        ys.append(yXXy)
+        v = variants.index(eidx)
+        sl = slice(1 + v * Bp, 1 + (v + 1) * Bp)
+        GPr, s_r = GP[:, sl], csum[sl]
+        if kind == "add":
+            U = d_add[:, None] * (GPr - mean[:, None] * s_r[None, :])
+        else:
+            U = d_dom[:, None] * (alpha[:, None] * GPr - G2P[:, sl]
+                                  - mean_enc[:, None] * s_r[None, :])
+        Uy = U[:, b2:]
+        ys.append(jnp.sum((Uy * Uy)[:, None, :] * annot_f[:, :, None],
+                          axis=0))                 # (K, T)
+        W = (U[:, None, :b2] * annot_f[:, :, None]).reshape(m, K * b2)
+        if kind == "add":
+            Yg = d_add[:, None] * W
+            Y_g_list.append(Yg)
+            Y_g2_list.append(None)
+            rank1_list.append(jnp.sum(mean[:, None] * Yg, axis=0))
+        else:
+            Ydm = d_dom[:, None] * W
+            Y_g_list.append(alpha[:, None] * Ydm)
+            Y_g2_list.append(-Ydm)
+            rank1_list.append(jnp.sum(mean_enc[:, None] * Ydm, axis=0))
+        scales.append(None if eidx is None else env[:, eidx])
+
+    # ---- stage 2: one wide g^T matmul (+ one g2^T matmul for dominance) ----
+    YG = jnp.concatenate(Y_g_list, axis=1)         # (m, n_comp*K*b2)
+    XXG = _mm(g.T, YG, mm_mode, dtype)             # (N, n_comp*K*b2)
+    dom_cols = [y for y in Y_g2_list if y is not None]
+    XXG2 = _mm(g2.T, jnp.concatenate(dom_cols, axis=1), mm_mode,
+               dtype) if dom_cols else None
+
+    XXPs = []
+    q = K * b2
+    dom_off = 0
+    for i, (kind, eidx) in enumerate(components):
+        part = XXG[:, i * q:(i + 1) * q]
+        if kind == "dom":
+            part = part + XXG2[:, dom_off * q:(dom_off + 1) * q]
+            dom_off += 1
+        part = part - rank1_list[i][None, :]
+        if scales[i] is not None:
+            part = part * scales[i][:, None].astype(part.dtype)
+        XXPs.append(part.reshape(N, K, b2).transpose(1, 0, 2))
 
     M_blk = jnp.sum(annot_f, axis=0).astype(jnp.int32)
     M_all = jnp.concatenate([M_blk] * len(components))
-    return jnp.concatenate(XXPs, axis=0), jnp.concatenate(ys, axis=0), M_all
+    return (jnp.concatenate(XXPs, axis=0),
+            jnp.concatenate(ys, axis=0).astype(dtype), M_all)
 
 
 block_stats = partial(
     jax.jit,
     static_argnames=("n_indiv", "components", "b2", "packed", "dtype",
-                     "matmul_dtype"),
+                     "mm_mode"),
 )(block_stats_core)
 
 

@@ -44,7 +44,7 @@ def make_sharded_step(
     n_cov: int,
     num_nxe: int,
     dtype=jnp.float32,
-    matmul_dtype=None,
+    mm_mode: str = "exact",
     axis: str = "jack",
 ):
     """Build a jitted multi-device step:
@@ -60,7 +60,7 @@ def make_sharded_step(
     """
     bs = partial(block_stats_core, n_indiv=n_indiv, components=components,
                  b2=b2, packed=packed, dtype=dtype,
-                 matmul_dtype=matmul_dtype)
+                 mm_mode=mm_mode)
     asm = partial(assemble_Tq_core, num_random_vec=num_random_vec,
                   n_indiv=n_indiv, n_cov=n_cov)
     use_cov = n_cov > 0
