@@ -231,8 +231,11 @@ class Engine:
         return geno, fill, False
 
     def _compute_block(self, j: int):
-        s, e = self._block_range(j)
         geno, fill, packed = self._load_block(j)
+        return self._block_stats_device(j, geno, fill, packed)
+
+    def _block_stats_device(self, j: int, geno, fill, packed):
+        s, e = self._block_range(j)
         annot_f = self.data.annot[s:e].astype(np.float32 if self.dtype !=
                                               jnp.float64 else np.float64)
         return block_stats(
@@ -249,14 +252,29 @@ class Engine:
             mm_mode=self.mm_mode,
         )
 
+    def _prefetched_blocks(self, indices):
+        """Yield (j, device stats) with host .bed reads + fills running one
+        block ahead on a background thread, overlapping disk/decode with
+        device compute (the role of the reference's worker pool +
+        streaming overlap, base_streaming.py:85-104)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        indices = list(indices)
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            nxt = ex.submit(self._load_block, indices[0])
+            for pos, j in enumerate(indices):
+                geno, fill, packed = nxt.result()
+                if pos + 1 < len(indices):
+                    nxt = ex.submit(self._load_block, indices[pos + 1])
+                yield j, self._block_stats_device(j, geno, fill, packed)
+
     def precompute(self):
         """Pass 1: accumulate totals (and cache block stats unless streaming)."""
         t0 = time.time()
         tot_XXP = jnp.zeros((self.E_geno, self.data.num_indv, self.b2),
                             self.dtype)
         tot_y = jnp.zeros((self.E_geno, max(self.T_traits, 0)), self.dtype)
-        for j in range(self.J):
-            XXP, yXXy, _ = self._compute_block(j)
+        for j, (XXP, yXXy, _) in self._prefetched_blocks(range(self.J)):
             tot_XXP = tot_XXP + XXP
             tot_y = tot_y + yXXy
             if not self.cfg.streaming:
@@ -266,17 +284,17 @@ class Engine:
         self.log._debug(f"Precompute total time: {time.time() - t0}")
 
     # --------------------------------------------------------------- assembly
-    def _loo_stats(self, j: int):
+    def _loo_stats(self, j: int, block=None):
         """Leave-one-out (or total, j == J) stats with NxE rows appended."""
         tot_XXP, tot_y = self._tot
         if j == self.J:
             XXP, yXXy = tot_XXP, tot_y
         else:
-            blk = self._cache.get(j)
+            blk = block if block is not None else self._cache.get(j)
             if blk is None:
                 bXXP, byXXy, _ = self._compute_block(j)
             else:
-                bXXP, byXXy = blk
+                bXXP, byXXy = blk[0], blk[1]
             XXP, yXXy = tot_XXP - bXXP, tot_y - byXXy
         if self.num_nxe:
             XXP = jnp.concatenate([XXP, self.nxe_XXP], axis=0)
@@ -284,13 +302,21 @@ class Engine:
         return XXP, yXXy
 
     def assemble(self):
-        """Pass 2: build T_all (J+1, E+1, E+1) and q_all (J+1, E+1, T) f64."""
+        """Pass 2: build T_all (J+1, E+1, E+1) and q_all (J+1, E+1, T) f64.
+        Streaming mode re-computes block stats (prefetched) instead of
+        reading the cache."""
         t0 = time.time()
         J1 = self.J + 1
         T_all = np.zeros((J1, self.E + 1, self.E + 1))
         q_all = np.zeros((J1, self.E + 1, max(self.T_traits, 1)))
+        blocks = iter(())
+        if self.cfg.streaming:
+            blocks = self._prefetched_blocks(range(self.J))
         for j in range(J1):
-            XXP, yXXy = self._loo_stats(j)
+            blk = None
+            if self.cfg.streaming and j < self.J:
+                _, blk = next(blocks)
+            XXP, yXXy = self._loo_stats(j, block=blk)
             M_j = jnp.asarray(self.M_mat[j])
             T, q = assemble_Tq(
                 XXP, yXXy, M_j, self.Zd, self.Uzbd, self.Cd, self.Qd,
@@ -382,6 +408,90 @@ class Engine:
         if self.cfg.get_trace:
             self.trace_sums = self._compute_trace_sums()
         return self.T_all, self.q_all
+
+    # ----------------------------------------------------------- XtXz export
+    def get_XtXz(self, output: str, jackknife_blocks: bool = True):
+        """X^T X z sumstat export (reference base.py:890-995): per-block
+        SNP-side probes Z_j, Xz = sum_j G_j Z_j over UNstandardized imputed
+        dosages, then XtXz rows per block, dumped as float64 `.txt.bin`
+        binaries plus per-jackknife leave-one-out versions and logged trace
+        estimates ||XtXz||^2/(B*M^2).
+
+        Implementation is two batched passes: pass A accumulates Xz_total
+        and keeps per-block Xz_j; pass B computes G_i^T [Xz_total | Xz_1..]
+        in one wide matmul per block instead of the reference's J^2 pair
+        loop (which also reuses block j's genotype for every pair — a bug;
+        this implements the intended leave-one-out semantics). Per-block
+        probes are drawn from np.random.default_rng([seed, j]) (the
+        reference's pool-worker draws from the global stream are order-
+        nondeterministic, base.py:895).
+        """
+        from ..ops.moments import _mm
+
+        B = self.B
+        J = self.J
+        d = self.data
+        mm = lambda a, b: _mm(a, b, self.mm_mode, self.dtype)
+
+        Zs = [np.random.default_rng([self.cfg.seed, j]).normal(
+            size=(self._block_range(j)[1] - self._block_range(j)[0], B))
+            for j in range(J)]
+
+        Xz_blocks = []
+        for j, geno_fill in enumerate(self._iter_raw_blocks()):
+            g = geno_fill  # (m, N) imputed dosage on device
+            Xz_blocks.append(mm(g.T, jnp.asarray(Zs[j], self.dtype)))
+        Xz_all = jnp.stack(Xz_blocks)                 # (J, N, B)
+        Xz_total = jnp.sum(Xz_all, axis=0)            # (N, B)
+
+        results = np.zeros((d.num_snp, B))
+        cross_dt = np.float64 if self.dtype == jnp.float64 else np.float32
+        cross = (np.zeros((d.num_snp, J, B), cross_dt)
+                 if jackknife_blocks else None)
+        wide = jnp.concatenate(
+            [Xz_total[:, :, None],
+             jnp.moveaxis(Xz_all, 0, 2)] if jackknife_blocks
+            else [Xz_total[:, :, None]], axis=2)      # (N, B, 1+J)
+        wide2 = wide.reshape(d.num_indv, -1)
+        for j, g in enumerate(self._iter_raw_blocks()):
+            s, e = self._block_range(j)
+            out = np.asarray(mm(g, wide2)).reshape(e - s, B, -1)
+            results[s:e] = out[:, :, 0]
+            if jackknife_blocks:
+                cross[s:e] = out[:, :, 1:].transpose(0, 2, 1)
+
+        trace_est = np.square(results).sum() / (B * d.num_snp ** 2)
+        self.log._debug(f"The trace estimate is {trace_est}")
+        with open(f"{output}.txt.bin", "wb") as f:
+            results.tofile(f)
+
+        if jackknife_blocks:
+            for j in range(J):
+                s, e = self._block_range(j)
+                loo = results - cross[:, j, :]        # G_i^T (Xz_tot - Xz_j)
+                loo = np.delete(loo, np.s_[s:e], axis=0)
+                m_loo = loo.shape[0]
+                jk_trace = np.square(loo).sum() / (B * m_loo ** 2)
+                self.log._debug(
+                    f"The trace estimate of {j}-th jackknife block is "
+                    f"{jk_trace}")
+                with open(f"{output}.jack_{j}.txt.bin", "wb") as f:
+                    loo.astype(np.float64).tofile(f)
+        return results
+
+    def _iter_raw_blocks(self):
+        """Yield each block's imputed UNstandardized dosage (m, N) on device."""
+        from ..ops.decode import decode_packed_jnp, dosage_from_u8, impute
+
+        for j in range(self.J):
+            geno, fill, packed = self._load_block(j)
+            geno_d = jax.device_put(geno, self._dev)
+            if packed:
+                g, miss = decode_packed_jnp(geno_d, self.data.num_indv,
+                                            self.dtype)
+            else:
+                g, miss = dosage_from_u8(geno_d, self.dtype)
+            yield impute(g, miss, jnp.asarray(fill, self.dtype))
 
     # -------------------------------------------------------------- estimate
     def run_precompute_and_assemble(self):

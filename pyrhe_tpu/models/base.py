@@ -191,6 +191,53 @@ class BaseModel:
                     fd.write(row + f",{self.engine.M_mat[j, k]:.0f}\n")
         self.log._log(f"Saved trace summary into {trace_prefix}(.tr/.MN)")
 
+    def get_XtXz(self, output: str, jackknife_blocks: bool = True):
+        """X^T X z sumstat export (reference base.py:923-995)."""
+        return self.engine.get_XtXz(output, jackknife_blocks)
+
+    def simulate_pheno(self, sigma_list):
+        """Simulate y = sum_k X_k beta_k (+ cov effect) + e and install it
+        as the phenotype (working version of reference base.py:208-262,
+        whose single-bin branch references undefined variables and whose
+        impute call crashes — see SURVEY §2.6). Uses the imputed,
+        unstandardized dosages like the reference's multi-bin branch.
+
+        Returns (y, betas)."""
+        import jax.numpy as jnp  # noqa: F401
+
+        d = self.data
+        if len(sigma_list) != d.num_bin:
+            raise ValueError("Number of elements in sigma list should be "
+                             "equal to number of bins")
+        rng = np.random.RandomState(self.seed)
+        len_bin = d.len_bin.astype(np.float64)
+        scale_per_bin = np.sqrt(
+            np.where(len_bin > 0, np.asarray(sigma_list) /
+                     np.maximum(len_bin, 1), 0.0))
+        y = np.zeros(d.num_indv)
+        betas = np.zeros(d.num_snp)
+        eng = self.engine
+        for j, g in enumerate(eng._iter_raw_blocks()):
+            s, e = eng._block_range(j)
+            beta = rng.randn(e - s) * (d.annot[s:e] @ scale_per_bin)
+            betas[s:e] = beta
+            y += np.asarray(g, np.float64).T @ beta
+        resid = 1.0 - float(np.sum(sigma_list))
+        y += rng.randn(d.num_indv) * np.sqrt(max(resid, 0.0))
+        if d.cov is not None:
+            y = y + d.cov @ np.ones(d.cov.shape[1])
+        y = y - y.mean()
+        d.pheno = y[:, None]
+        d.binary_pheno = False
+        self._reset_engine()
+        return y, betas
+
+    def _reset_engine(self):
+        """Rebuild the engine after the phenotype changed (the phenotype
+        rides the probe matrix, so precompute must rerun)."""
+        self.engine = Engine(self.data, self.spec, self.cfg, self.log)
+        self._computed = False
+
     def run(self, method: str = "QR", trait: int = 0):
         raise NotImplementedError
 

@@ -1,0 +1,107 @@
+"""Feature-level tests: XtXz export, simulate_pheno, liability, trace files."""
+import os
+
+import numpy as np
+import pytest
+
+from conftest import load_geno_nan
+
+from pyrhe_tpu.core import solver as S
+from pyrhe_tpu.models import RHE
+
+N, M = 600, 800
+
+
+def make_model(ds, tmp, **kw):
+    return RHE(geno_file=ds["prefix"], annot_file=ds["annot1_path"],
+               pheno_file=ds["pheno_path"], num_jack=kw.pop("num_jack", 4),
+               num_random_vec=kw.pop("num_random_vec", 4), seed=kw.pop(
+                   "seed", 7), dtype="float64", **kw)
+
+
+def test_get_XtXz_matches_numpy(small_dataset, tmp_path):
+    rhe = make_model(small_dataset, tmp_path)
+    out = str(tmp_path / "xtxz")
+    results = rhe.get_XtXz(out, jackknife_blocks=True)
+
+    # independent numpy computation on imputed dosages
+    geno = load_geno_nan(small_dataset["prefix"], N, M)  # (N, M) w/ nan
+    eng = rhe.engine
+    G = np.zeros_like(geno)
+    for j in range(eng.J):
+        s, e = eng._block_range(j)
+        gj = np.asarray(list(eng._iter_raw_blocks())[j], np.float64).T
+        G[:, s:e] = gj
+    B = eng.B
+    Xz = np.zeros((N, B))
+    Zs = {}
+    for j in range(eng.J):
+        s, e = eng._block_range(j)
+        Zs[j] = np.random.default_rng([7, j]).normal(size=(e - s, B))
+        Xz += G[:, s:e] @ Zs[j]
+    expect = G.T @ Xz
+    np.testing.assert_allclose(results, expect, rtol=1e-8, atol=1e-8)
+
+    # binary files exist and round-trip
+    loaded = np.fromfile(out + ".txt.bin").reshape(M, B)
+    np.testing.assert_allclose(loaded, results)
+    jk0 = np.fromfile(out + ".jack_0.txt.bin").reshape(-1, B)
+    s, e = eng._block_range(0)
+    Xz_loo = Xz - G[:, s:e] @ Zs[0]
+    expect_jk0 = np.delete(G.T @ Xz_loo, np.s_[s:e], axis=0)
+    np.testing.assert_allclose(jk0, expect_jk0, rtol=1e-7, atol=1e-7)
+
+
+def test_simulate_pheno_recovers_h2(small_dataset, tmp_path):
+    rhe = make_model(small_dataset, tmp_path, num_jack=8,
+                     num_random_vec=16, seed=3)
+    y, betas = rhe.simulate_pheno([0.5])
+    assert y.shape == (N,)
+    assert abs(rhe.data.pheno.mean()) < 1e-9
+    sigma_jack, sigma_total = rhe.estimate(0)
+    h2 = S.h2_nonoverlapping(np.vstack([sigma_jack, sigma_total[None]]))
+    se = S.jackknife_se(h2[:-1], 8)
+    # unstandardized-X simulation: realized genetic variance is
+    # sum_c beta_c^2 * var(x_c); check recovery within ~4 SE of that
+    geno = load_geno_nan(small_dataset["prefix"], N, M)
+    eng = rhe.engine
+    G = np.concatenate([np.asarray(g, np.float64).T
+                        for g in eng._iter_raw_blocks()], axis=1)
+    gvar = ((G - G.mean(0)) @ betas).var()
+    truth = gvar / (gvar + (1 - 0.5))
+    assert abs(h2[-1, -1] - truth) < 4 * max(se[-1], 0.05)
+
+
+def test_liability_h2_values():
+    # spot-check against the published formula (reference base.py:857-868)
+    h2_liab, se_liab, p = S.liability_h2(0.2, 0.05, pop_prev=0.1,
+                                         samp_prev=0.3)
+    from scipy.stats import norm, chi2
+    zv = norm.pdf(norm.ppf(0.1))
+    scale = 0.1 ** 2 * 0.9 ** 2 / 0.3 / 0.7 / zv ** 2
+    assert h2_liab == pytest.approx(0.2 * scale)
+    assert se_liab == pytest.approx(0.05 * scale)
+    assert p == pytest.approx(chi2.sf((0.2 * scale) ** 2 /
+                                      (0.05 * scale) ** 2, 1))
+
+
+def test_trace_file_contents(small_dataset, tmp_path):
+    rhe = make_model(small_dataset, tmp_path, get_trace=True,
+                     trace_dir=str(tmp_path))
+    os.chdir(tmp_path)
+    rhe(trait=0)
+    base = f"run_{os.path.basename(small_dataset['pheno_path'])}"
+    mn = (tmp_path / (base + ".MN")).read_text().splitlines()
+    assert mn[0] == "NSAMPLE,NSNPS,NBLKS,NBINS,K"
+    assert mn[1] == f"{N},{M},4,1,4"
+    tr = (tmp_path / (base + ".tr")).read_text().splitlines()
+    assert tr[0] == "LD_SUM_0,NSNPS_JACKKNIFE"
+    assert len(tr) == 1 + (4 + 1) * 1
+    # rows are lsum(T[j,0,0]) and LOO SNP counts
+    eng = rhe.engine
+    for j in range(5):
+        val, cnt = tr[1 + j].split(",")
+        expect = S.calc_lsum(eng.T_all[j, 0, 0], N, eng.M_mat[j, 0],
+                             eng.M_mat[j, 0])
+        assert float(val) == pytest.approx(expect, abs=0.5e-3)
+        assert int(cnt) == eng.M_mat[j, 0]
