@@ -29,11 +29,12 @@ import time
 import numpy as np
 
 
-def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32"):
+def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32",
+               impl="jnp"):
     import jax
     import jax.numpy as jnp
 
-    from pyrhe_tpu.ops.moments import block_stats_core
+    from pyrhe_tpu.ops.moments import block_stats_core, block_stats_pallas_core
 
     T = 1
     b2 = B
@@ -45,24 +46,49 @@ def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32"):
     annot[np.arange(m), rng.integers(0, K, m)] = 1.0
     annot_d = jax.device_put(annot, dev)
     fill = jax.device_put(np.zeros(m, np.float32), dev)
-    P = jax.device_put(rng.normal(size=(N, Bp)).astype(np.float32), dev)
     mm_mode = {"float32": "split2", "bfloat16": "bf16",
                "exact": "exact"}[dtype_mode]
 
+    if impl == "pallas":
+        from pyrhe_tpu.ops.kernels import pad_to, plane_permutation
+        n_pad = pad_to(N, 512)
+        perm = plane_permutation(n_pad, 512)
+        P_nat = np.zeros((n_pad, Bp), np.float32)
+        P_nat[:N] = rng.normal(size=(N, Bp))
+        P = jax.device_put(P_nat[perm], dev)
+        mask = jax.device_put((perm < N).astype(np.float32), dev)
+        assert m % 256 == 0
+        nb = n_pad // 4
+
+        def stats(blk):
+            return block_stats_pallas_core(
+                blk, fill, annot_d, P, None, mask, n_indiv=N,
+                components=(("add", None),), b2=b2, dtype=jnp.float32,
+                kernel_dtype=jnp.bfloat16,
+                mm_split=(mm_mode == "split2"))
+        N_out = n_pad
+    else:
+        P = jax.device_put(rng.normal(size=(N, Bp)).astype(np.float32), dev)
+        nb = (N + 3) // 4
+
+        def stats(blk):
+            return block_stats_core(
+                blk, fill, annot_d, P, None, n_indiv=N,
+                components=(("add", None),), b2=b2, packed=True,
+                dtype=jnp.float32, mm_mode=mm_mode)
+        N_out = N
+
     def make_scan(n_blocks):
         blocks = jax.device_put(rng.integers(
-            0, 256, size=(n_blocks, m, (N + 3) // 4), dtype=np.uint8), dev)
+            0, 256, size=(n_blocks, m, nb), dtype=np.uint8), dev)
 
         @jax.jit
         def run(blocks):
             def body(carry, blk):
-                XXP, yXXy, _ = block_stats_core(
-                    blk, fill, annot_d, P, None, n_indiv=N,
-                    components=(("add", None),), b2=b2, packed=True,
-                    dtype=jnp.float32, mm_mode=mm_mode)
+                XXP, yXXy, _ = stats(blk)
                 return (carry[0] + XXP, carry[1] + yXXy), None
 
-            init = (jnp.zeros((K, N, b2), jnp.float32),
+            init = (jnp.zeros((K, N_out, b2), jnp.float32),
                     jnp.zeros((K, T), jnp.float32))
             (tot, toty), _ = jax.lax.scan(body, init, blocks)
             return jnp.sum(tot) + jnp.sum(toty)
@@ -70,15 +96,15 @@ def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32"):
         return run, blocks
 
     times = {}
-    for nb in (n_blocks_short, n_blocks_long):
-        run, blocks = make_scan(nb)
+    for nblk in (n_blocks_short, n_blocks_long):
+        run, blocks = make_scan(nblk)
         float(run(blocks))  # warmup/compile + sync
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
             s = float(run(blocks))   # host pull = true sync
             best = min(best, time.perf_counter() - t0)
-        times[nb] = best
+        times[nblk] = best
         assert np.isfinite(s)
     marginal = (times[n_blocks_long] - times[n_blocks_short]) / (
         n_blocks_long - n_blocks_short)
@@ -94,10 +120,11 @@ def main():
 
     on_tpu = jax.devices()[0].platform != "cpu"
     mode = os.environ.get("BENCH_DTYPE", "float32")
+    impl = os.environ.get("BENCH_IMPL", "pallas" if on_tpu else "jnp")
     if on_tpu:
-        gflops = bench_scan(131072, 2048, 1, 10, 8, 32, mode)
+        gflops = bench_scan(131072, 2048, 1, 10, 8, 32, mode, impl)
     else:
-        gflops = bench_scan(8192, 512, 1, 10, 2, 6, mode)
+        gflops = bench_scan(8192, 512, 1, 10, 2, 6, mode, impl)
 
     baseline_gflops = 8.9  # PyRHE CPU-equivalent, see module docstring
     print(json.dumps({

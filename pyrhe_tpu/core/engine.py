@@ -83,6 +83,8 @@ class RunConfig:
     trace_dir: str | None = None
     device: str = "auto"            # auto | cpu | tpu
     mm_mode: str = "auto"           # auto | exact | split2 | bf16
+    use_pallas: object = "auto"     # auto | True | False — fused
+                                    # decode+matmul kernels (TPU only)
 
 
 _DTYPES = {"float32": jnp.float32, "float64": jnp.float64,
@@ -114,6 +116,7 @@ class Engine:
                  "bfloat16": "bf16"}[cfg.dtype])
 
         self._dev = self._pick_device(cfg.device)
+        self._setup_pallas()
         self._build_static_arrays()
         self._cache: dict[int, tuple] = {}
         self._tot = None
@@ -130,10 +133,40 @@ class Engine:
         self.log._debug(f"device {device} not available, using default")
         return jax.devices()[0]
 
+    def _setup_pallas(self):
+        """Resolve whether blocks go through the fused Pallas kernels.
+        Requires the packed path (no individual filtering) and a bf16-based
+        matmul mode; disabled on CPU (interpret mode is test-only)."""
+        packed_ok = self.data.bed.keep_idx is None
+        if self.cfg.use_pallas == "auto":
+            self.use_pallas = (self._dev.platform != "cpu" and packed_ok
+                               and self.mm_mode in ("split2", "bf16"))
+        else:
+            self.use_pallas = bool(self.cfg.use_pallas) and packed_ok
+        self._pl_tm, self._pl_tn = 256, 512
+        if self.use_pallas:
+            from ..ops.kernels import pad_to, plane_permutation
+            self.n_pad = pad_to(self.data.num_indv, self._pl_tn)
+            self.perm = plane_permutation(self.n_pad, self._pl_tn)
+            self.N_work = self.n_pad
+        else:
+            self.perm = None
+            self.N_work = self.data.num_indv
+
+    def _padperm(self, x: np.ndarray) -> np.ndarray:
+        """Zero-pad an (N, k) array to n_pad rows and apply the plane
+        permutation (ops/kernels.py contract). Identity when not pallas."""
+        if self.perm is None:
+            return x
+        out = np.zeros((self.n_pad,) + x.shape[1:], x.dtype)
+        out[:x.shape[0]] = x
+        return out[self.perm]
+
     def _build_static_arrays(self):
         d = self.data
         put = lambda x: jax.device_put(
-            jnp.asarray(x, dtype=self.dtype), self._dev)
+            jnp.asarray(self._padperm(np.asarray(x, np.float64)),
+                        dtype=self.dtype), self._dev)
         self.Y_resid = d.resid_pheno() if d.pheno is not None else np.zeros(
             (d.num_indv, 0))
         cols = [d.Z]
@@ -145,9 +178,15 @@ class Engine:
         self.Zd = put(d.Z)
         self.Uzbd = put(d.Uzb) if self.use_cov else jnp.zeros_like(self.Zd)
         self.Cd = put(d.cov) if self.use_cov else None
-        self.Qd = put(d.Q) if self.use_cov else None
+        self.Qd = jax.device_put(jnp.asarray(d.Q, self.dtype),
+                                 self._dev) if self.use_cov else None
         self.envd = put(d.env) if d.num_env else None
-        self.q_last = put((self.Y_resid ** 2).sum(axis=0))
+        if self.perm is not None:
+            self.valid_mask = jax.device_put(
+                jnp.asarray((self.perm < d.num_indv), self.dtype), self._dev)
+        self.q_last = jax.device_put(
+            jnp.asarray((self.Y_resid ** 2).sum(axis=0), self.dtype),
+            self._dev)
         self.stoch_mask = jnp.asarray(self._stochastic_mask())
         if self.num_nxe:
             Yd = put(self.Y_resid)
@@ -198,46 +237,87 @@ class Engine:
         return M
 
     # ------------------------------------------------------------- block pass
-    def _binary_fill_values(self, j: int, geno_u8: np.ndarray) -> np.ndarray:
+    def _fill_from_stats(self, sums, nmiss, n_total, m_block):
         """Per-SNP HWE imputation draws, reproducing the reference's RNG
         discipline exactly: reseed per block, one uniform draw per SNP
         whether or not it has missing entries (base.py:265-289,510)."""
-        sums, nmiss = self.data.bed.col_stats(geno_u8)
-        n_obs = geno_u8.shape[1] - nmiss
+        n_obs = n_total - nmiss
         p = np.divide(sums, n_obs, out=np.zeros_like(sums),
                       where=n_obs > 0) * 0.5
         rs = np.random.RandomState(self.cfg.seed)
-        rval = rs.random_sample(geno_u8.shape[0])
+        rval = rs.random_sample(m_block)
         d0 = (1 - p) ** 2
         d1 = 2 * p * (1 - p)
         return np.where(rval < d0, 0.0,
                         np.where(rval < d0 + d1, 1.0, 2.0))
 
-    def _load_block(self, j: int):
-        """Host-side block fetch -> (geno array, fill, packed flag)."""
+    def _load_block(self, j: int, raw: bool = False):
+        """Host-side block fetch -> (geno array, fill, mode).
+
+        mode: "pallas" (padded packed bytes for the fused kernels),
+        "packed" (packed bytes for on-device jnp decode), or "host"
+        (decoded uint8 dosages). raw=True forces a non-pallas path."""
         s, e = self._block_range(j)
+        m = e - s
         bed = self.data.bed
+        if not raw and self.use_pallas:
+            packed = bed.read_packed_block(s, e)
+            if self.cfg.geno_impute_method == "binary":
+                sums, nmiss = bed.packed_col_stats(packed)
+                fill = self._fill_from_stats(sums, nmiss,
+                                             self.data.num_indv, m)
+            else:
+                fill = np.zeros(m)
+            from ..ops.kernels import pad_to
+            m_pad = pad_to(m, self._pl_tm)
+            out = np.zeros((m_pad, self.n_pad // 4), np.uint8)
+            out[:m, :bed.bytes_per_snp] = packed
+            fill_pad = np.zeros(m_pad)
+            fill_pad[:m] = fill
+            return out, fill_pad, "pallas"
         use_packed = (bed.keep_idx is None
                       and self.cfg.geno_impute_method == "mean")
         if use_packed:
-            geno = bed.read_packed_block(s, e)
-            fill = np.zeros(e - s)
-            return geno, fill, True
+            return bed.read_packed_block(s, e), np.zeros(m), "packed"
         geno = bed.read_block(s, e)
         if self.cfg.geno_impute_method == "binary":
-            fill = self._binary_fill_values(j, geno)
+            sums, nmiss = bed.col_stats(geno)
+            fill = self._fill_from_stats(sums, nmiss, geno.shape[1], m)
         else:
-            fill = np.zeros(e - s)
-        return geno, fill, False
+            fill = np.zeros(m)
+        return geno, fill, "host"
 
     def _compute_block(self, j: int):
-        geno, fill, packed = self._load_block(j)
-        return self._block_stats_device(j, geno, fill, packed)
+        geno, fill, mode = self._load_block(j)
+        return self._block_stats_device(j, geno, fill, mode)
 
-    def _block_stats_device(self, j: int, geno, fill, packed):
+    def _block_stats_device(self, j: int, geno, fill, mode):
         s, e = self._block_range(j)
-        annot_f = self.data.annot[s:e].astype(np.float32 if self.dtype !=
-                                              jnp.float64 else np.float64)
+        np_dt = np.float32 if self.dtype != jnp.float64 else np.float64
+        annot_f = self.data.annot[s:e].astype(np_dt)
+        if mode == "pallas":
+            from ..ops.moments import block_stats_pallas
+            annot_pad = np.zeros((geno.shape[0], self.K), np_dt)
+            annot_pad[:e - s] = annot_f
+            return block_stats_pallas(
+                jax.device_put(geno, self._dev),
+                jax.device_put(jnp.asarray(fill, jnp.float32), self._dev),
+                jax.device_put(jnp.asarray(annot_pad, self.dtype),
+                               self._dev),
+                self.P,
+                self.envd,
+                self.valid_mask,
+                n_indiv=self.data.num_indv,
+                components=self.spec.components,
+                b2=self.b2,
+                dtype=self.dtype,
+                kernel_dtype=(jnp.float32 if self._dev.platform == "cpu"
+                              else jnp.bfloat16),
+                mm_split=(self.mm_mode == "split2"),
+                interpret=(self._dev.platform == "cpu"),
+                tm=self._pl_tm,
+                tn=self._pl_tn,
+            )
         return block_stats(
             jax.device_put(geno, self._dev),
             jax.device_put(jnp.asarray(fill, self.dtype), self._dev),
@@ -247,7 +327,7 @@ class Engine:
             n_indiv=self.data.num_indv,
             components=self.spec.components,
             b2=self.b2,
-            packed=packed,
+            packed=(mode == "packed"),
             dtype=self.dtype,
             mm_mode=self.mm_mode,
         )
@@ -271,7 +351,7 @@ class Engine:
     def precompute(self):
         """Pass 1: accumulate totals (and cache block stats unless streaming)."""
         t0 = time.time()
-        tot_XXP = jnp.zeros((self.E_geno, self.data.num_indv, self.b2),
+        tot_XXP = jnp.zeros((self.E_geno, self.N_work, self.b2),
                             self.dtype)
         tot_y = jnp.zeros((self.E_geno, max(self.T_traits, 0)), self.dtype)
         for j, (XXP, yXXy, _) in self._prefetched_blocks(range(self.J)):
@@ -367,7 +447,7 @@ class Engine:
         annots = np.zeros((self.J, m_pad, self.K), dtype=np_dt)
         for j in range(self.J):
             s, e = self._block_range(j)
-            geno, fill, packed = self._load_block(j)
+            geno, fill, packed = self._load_block(j, raw=True)
             genos[j, :e - s] = geno
             fills[j, :e - s] = fill
             annots[j, :e - s] = d.annot[s:e]
@@ -484,9 +564,9 @@ class Engine:
         from ..ops.decode import decode_packed_jnp, dosage_from_u8, impute
 
         for j in range(self.J):
-            geno, fill, packed = self._load_block(j)
+            geno, fill, mode = self._load_block(j, raw=True)
             geno_d = jax.device_put(geno, self._dev)
-            if packed:
+            if mode == "packed":
                 g, miss = decode_packed_jnp(geno_d, self.data.num_indv,
                                             self.dtype)
             else:

@@ -110,6 +110,44 @@ void bed_col_stats(const uint8_t* dosage, int64_t m, int64_t n, double* sums,
   }
 }
 
+// Per-SNP observed-dosage sums and missing counts straight from PACKED
+// bytes (no decode): 256-entry tables give each byte's dosage sum and
+// missing count across its 4 samples. n_orig is the true individual count
+// (trailing pad bits in the last byte are code 0 = dosage 0, so they only
+// need excluding from the missing count, which they never hit).
+void bed_packed_col_stats(const uint8_t* packed, int64_t m, int64_t n_orig,
+                          double* sums, int64_t* nmiss) {
+  static int16_t sum_t[256];
+  static int8_t miss_t[256];
+  static bool init = false;
+  if (!init) {
+    static const int8_t code2dose[4] = {0, 0, 1, 2};
+    static const int8_t code2miss[4] = {0, 1, 0, 0};
+    for (int b = 0; b < 256; ++b) {
+      int s = 0, mi = 0;
+      for (int i = 0; i < 4; ++i) {
+        int code = (b >> (2 * i)) & 3;
+        s += code2dose[code];
+        mi += code2miss[code];
+      }
+      sum_t[b] = static_cast<int16_t>(s);
+      miss_t[b] = static_cast<int8_t>(mi);
+    }
+    init = true;
+  }
+  const int64_t bytes_per_snp = (n_orig + 3) / 4;
+  for (int64_t s = 0; s < m; ++s) {
+    const uint8_t* row = packed + s * bytes_per_snp;
+    int64_t sum = 0, miss = 0;
+    for (int64_t b = 0; b < bytes_per_snp; ++b) {
+      sum += sum_t[row[b]];
+      miss += miss_t[row[b]];
+    }
+    sums[s] = static_cast<double>(sum);
+    nmiss[s] = miss;
+  }
+}
+
 // Pack an (m, n) uint8 dosage matrix (255 = missing) into PLINK .bed bytes
 // using the same A2-count convention the decoder emits.
 void bed_encode_block(const uint8_t* dosage, int64_t m, int64_t n,

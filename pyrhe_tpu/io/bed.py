@@ -55,6 +55,10 @@ def _load_native():
         lib.bed_encode_block.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
         ]
+        lib.bed_packed_col_stats.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         _lib = lib
     except Exception as e:  # pragma: no cover - toolchain issues
         print(f"[pyrhe_tpu] native bed decoder unavailable ({e}); "
@@ -152,6 +156,21 @@ class BedFile:
         if self.keep_idx is not None:
             out = out[:, self.keep_idx]
         return np.ascontiguousarray(out)
+
+    def packed_col_stats(self, packed: np.ndarray):
+        """Per-SNP (observed dosage sum, missing count) straight from packed
+        bytes (byte-LUT in C++; no decode). Only valid without individual
+        filtering (keep_idx)."""
+        packed = np.ascontiguousarray(packed, dtype=np.uint8)
+        m = packed.shape[0]
+        lib = _load_native()
+        if lib is not None and packed.shape[1] == self.bytes_per_snp:
+            sums = np.empty(m, dtype=np.float64)
+            nmiss = np.empty(m, dtype=np.int64)
+            lib.bed_packed_col_stats(packed.ctypes.data, m, self.num_indiv,
+                                     sums.ctypes.data, nmiss.ctypes.data)
+            return sums, nmiss
+        return self.col_stats(decode_packed(packed, self.num_indiv))
 
     def col_stats(self, dosage: np.ndarray):
         """Per-SNP (observed dosage sum, missing count) for a decoded block."""

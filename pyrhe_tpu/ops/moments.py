@@ -93,26 +93,41 @@ def block_stats_core(
     if mm_mode != "exact":
         g = g.astype(jnp.bfloat16)  # dosages are exact in bf16
 
-    m, N = g.shape
-    K = annot_f.shape[1]
-    Bp = P.shape[1]
-    T = Bp - b2
     need_dom = any(kind == "dom" for kind, _ in components)
     g2 = (g * g) if need_dom else None
+    N = g.shape[1]
+    mm1 = lambda which, C: _mm(g if which == "g" else g2, C, mm_mode, dtype)
+    mm2 = lambda which, Y: _mm((g if which == "g" else g2).T, Y, mm_mode,
+                               dtype)
+    return _moment_algebra(mm1, mm2, N, annot_f, P, env,
+                           n_indiv=n_indiv, components=components, b2=b2,
+                           dtype=dtype, valid_mask=None)
+
+
+def _moment_algebra(mm1, mm2, N, annot_f, P, env, *, n_indiv, components,
+                    b2, dtype, valid_mask=None):
+    """Shared post-matmul algebra. mm1(which, C) computes g@C / g2@C over
+    an (N, W) right operand; mm2(which, Y) computes g^T@Y / g2^T@Y over an
+    (m, Q) right operand, returning N rows (padded rows masked by
+    valid_mask when the matmuls run in padded/permuted layout)."""
+    m, K = annot_f.shape
+    Bp = P.shape[1]
 
     # ---- stage 1: one wide matmul over all env variants + ones column ----
     variants = []
     for _, eidx in components:
         if eidx not in variants:
             variants.append(eidx)
-    cols = [jnp.ones((N, 1), dtype)]
+    cols = [jnp.ones((N, 1), dtype) if valid_mask is None
+            else valid_mask[:, None].astype(dtype)]
     for v in variants:
         cols.append(P if v is None else P * env[:, v][:, None].astype(P.dtype))
     C_all = jnp.concatenate(cols, axis=1)          # (N, 1 + Bp*V)
     csum = _colsum(C_all)                          # exact column sums
 
-    GP = _mm(g, C_all, mm_mode, dtype)             # (m, 1 + Bp*V)
-    G2P = _mm(g2, C_all, mm_mode, dtype) if need_dom else None
+    need_dom = any(kind == "dom" for kind, _ in components)
+    GP = mm1("g", C_all)                           # (m, 1 + Bp*V)
+    G2P = mm1("g2", C_all) if need_dom else None
 
     mean = GP[:, 0] / n_indiv
     var_add = mean * (1.0 - 0.5 * mean)
@@ -155,10 +170,9 @@ def block_stats_core(
 
     # ---- stage 2: one wide g^T matmul (+ one g2^T matmul for dominance) ----
     YG = jnp.concatenate(Y_g_list, axis=1)         # (m, n_comp*K*b2)
-    XXG = _mm(g.T, YG, mm_mode, dtype)             # (N, n_comp*K*b2)
+    XXG = mm2("g", YG)                             # (N, n_comp*K*b2)
     dom_cols = [y for y in Y_g2_list if y is not None]
-    XXG2 = _mm(g2.T, jnp.concatenate(dom_cols, axis=1), mm_mode,
-               dtype) if dom_cols else None
+    XXG2 = mm2("g2", jnp.concatenate(dom_cols, axis=1)) if dom_cols else None
 
     XXPs = []
     q = K * b2
@@ -171,6 +185,8 @@ def block_stats_core(
         part = part - rank1_list[i][None, :]
         if scales[i] is not None:
             part = part * scales[i][:, None].astype(part.dtype)
+        if valid_mask is not None:
+            part = part * valid_mask[:, None].astype(part.dtype)
         XXPs.append(part.reshape(N, K, b2).transpose(1, 0, 2))
 
     M_blk = jnp.sum(annot_f, axis=0).astype(jnp.int32)
@@ -184,6 +200,55 @@ block_stats = partial(
     static_argnames=("n_indiv", "components", "b2", "packed", "dtype",
                      "mm_mode"),
 )(block_stats_core)
+
+
+def block_stats_pallas_core(
+    packed,         # (m_pad, nb_pad) u8, rows zero-padded
+    fill,           # (m_pad,) imputation fill values
+    annot_f,        # (m_pad, K), zero rows for padded SNPs
+    P_perm,         # (n_pad, Bp) probes in plane-permuted order, zero pads
+    env_perm,       # (n_pad, num_env) plane-permuted, or None
+    valid_mask,     # (n_pad,) 1.0 for real individuals, 0.0 for pads
+    *,
+    n_indiv: int,
+    components: tuple,
+    b2: int,
+    dtype=jnp.float32,
+    kernel_dtype=jnp.bfloat16,
+    mm_split: bool = False,
+    interpret: bool = False,
+    tm: int = 256,
+    tn: int = 512,
+):
+    """block_stats via the fused decode+matmul Pallas kernels
+    (ops/kernels.py). Inputs follow the plane-permutation contract; the
+    returned XXP rows are in the same permuted order, which is invisible
+    downstream because every consumer contracts over individuals with
+    equally-permuted arrays. mm_split=True recovers ~f32 accuracy with
+    bf16 MXU passes on a hi/lo split of the probe-side operand (split2)."""
+    from .kernels import gp_matmul, xxg_matmul
+
+    fill2 = fill[:, None].astype(jnp.float32)
+    N = P_perm.shape[0]
+    split = mm_split and kernel_dtype == jnp.bfloat16
+
+    def run(kern, R, which):
+        return kern(packed, fill2, R.astype(jnp.float32), tm=tm, tn=tn,
+                    dtype=kernel_dtype, interpret=interpret,
+                    square=(which == "g2"), split=split).astype(dtype)
+
+    mm1 = lambda which, C: run(gp_matmul, C, which)
+    mm2 = lambda which, Y: run(xxg_matmul, Y, which)
+    return _moment_algebra(mm1, mm2, N, annot_f, P_perm, env_perm,
+                           n_indiv=n_indiv, components=components, b2=b2,
+                           dtype=dtype, valid_mask=valid_mask)
+
+
+block_stats_pallas = partial(
+    jax.jit,
+    static_argnames=("n_indiv", "components", "b2", "dtype", "kernel_dtype",
+                     "mm_split", "interpret", "tm", "tn"),
+)(block_stats_pallas_core)
 
 
 def nxe_stats(env, Z, Uzb, Y, b2, B, dtype=jnp.float32):

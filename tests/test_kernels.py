@@ -1,0 +1,108 @@
+"""Pallas fused decode+matmul kernel correctness (interpret mode on CPU)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyrhe_tpu.io.bed import encode_dosage
+from pyrhe_tpu.ops.decode import decode_packed_jnp, impute
+from pyrhe_tpu.ops.kernels import pad_to, plane_permutation
+from pyrhe_tpu.ops.moments import (block_stats, block_stats_pallas)
+
+TM, TN = 256, 512
+
+
+def make_inputs(m=300, n=700, seed=0, missing=True):
+    rng = np.random.default_rng(seed)
+    dos = rng.integers(0, 3, size=(m, n)).astype(np.uint8)
+    if missing:
+        dos[rng.random((m, n)) < 0.05] = 255
+    packed = encode_dosage(dos)
+    fill = rng.integers(0, 3, size=m).astype(np.float64)
+    m_pad, n_pad = pad_to(m, TM), pad_to(n, TN)
+    packed_pad = np.zeros((m_pad, n_pad // 4), np.uint8)
+    packed_pad[:m, :packed.shape[1]] = packed
+    fill_pad = np.zeros(m_pad)
+    fill_pad[:m] = fill
+    perm = plane_permutation(n_pad, TN)
+    # natural-order imputed dosage for the reference computation
+    g = dos.astype(np.float64)
+    g[dos == 255] = np.repeat(fill[:, None], n, 1)[dos == 255]
+    return packed_pad, fill_pad, g, perm, m, n, m_pad, n_pad
+
+
+@pytest.mark.parametrize("square", [False, True])
+def test_gp_xxg_kernels(square):
+    from pyrhe_tpu.ops.kernels import gp_matmul, xxg_matmul
+
+    packed_pad, fill_pad, g, perm, m, n, m_pad, n_pad = make_inputs()
+    rng = np.random.default_rng(1)
+    W = 8
+    C = rng.normal(size=(n_pad, W))
+    C[n:] = 0.0
+    C_perm = C[perm]
+    gg = g ** 2 if square else g
+
+    gp = np.asarray(gp_matmul(
+        jnp.asarray(packed_pad), jnp.asarray(fill_pad[:, None], jnp.float32),
+        jnp.asarray(C_perm, jnp.float32), tm=TM, tn=TN, dtype=jnp.float32,
+        interpret=True, square=square))
+    np.testing.assert_allclose(gp[:m], gg @ C[:n], rtol=2e-5, atol=1e-3)
+    assert np.all(gp[m:] == 0)
+
+    Y = rng.normal(size=(m_pad, W))
+    Y[m:] = 0.0
+    xxg = np.asarray(xxg_matmul(
+        jnp.asarray(packed_pad), jnp.asarray(fill_pad[:, None], jnp.float32),
+        jnp.asarray(Y, jnp.float32), tm=TM, tn=TN, dtype=jnp.float32,
+        interpret=True, square=square))
+    expect = gg.T @ Y[:m]                      # (n, W) natural order
+    expect_pad = np.zeros((n_pad, W))
+    expect_pad[:n] = expect
+    np.testing.assert_allclose(xxg, expect_pad[perm], rtol=2e-5, atol=1e-3)
+
+
+@pytest.mark.parametrize("components", [
+    (("add", None),),
+    (("add", None), ("dom", None)),
+    (("add", None), ("add", 0)),
+])
+def test_block_stats_pallas_matches_jnp(components):
+    packed_pad, fill_pad, g, perm, m, n, m_pad, n_pad = make_inputs(seed=2)
+    rng = np.random.default_rng(3)
+    K, B, T = 2, 4, 1
+    b2 = B
+    annot = np.zeros((m_pad, K), np.float32)
+    annot[np.arange(m), rng.integers(0, K, m)] = 1.0
+    P = rng.normal(size=(n, b2 + T)).astype(np.float32)
+    env = (rng.random((n, 1)) < 0.5).astype(np.float32)
+
+    # jnp reference path on unpadded data
+    dos = np.where(np.isnan(g), 255, g).astype(np.uint8)  # g has no nan now
+    XXP0, y0, M0 = block_stats(
+        jnp.asarray(encode_dosage(dos)), jnp.asarray(fill_pad[:m],
+                                                     jnp.float32),
+        jnp.asarray(annot[:m]), jnp.asarray(P), jnp.asarray(env),
+        n_indiv=n, components=components, b2=b2, packed=True,
+        dtype=jnp.float32, mm_mode="exact")
+
+    P_pad = np.zeros((n_pad, b2 + T), np.float32)
+    P_pad[:n] = P
+    env_pad = np.zeros((n_pad, 1), np.float32)
+    env_pad[:n] = env
+    mask = np.zeros(n_pad, np.float32)
+    mask[:n] = 1.0
+    XXP1, y1, M1 = block_stats_pallas(
+        jnp.asarray(packed_pad), jnp.asarray(fill_pad, jnp.float32),
+        jnp.asarray(annot), jnp.asarray(P_pad[perm]),
+        jnp.asarray(env_pad[perm]), jnp.asarray(mask[perm]),
+        n_indiv=n, components=components, b2=b2, dtype=jnp.float32,
+        kernel_dtype=jnp.float32, interpret=True, tm=TM, tn=TN)
+
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=1e-4,
+                               atol=1e-3)
+    # XXP rows come back permuted; compare via inverse permutation
+    inv = np.argsort(perm)
+    XXP1n = np.asarray(XXP1)[:, inv, :][:, :n, :]
+    np.testing.assert_allclose(XXP1n, np.asarray(XXP0), rtol=1e-4,
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(M1), np.asarray(M0))

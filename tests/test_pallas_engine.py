@@ -1,0 +1,56 @@
+"""Engine end-to-end through the Pallas kernel path (interpret mode, CPU),
+compared against the jnp engine path."""
+import numpy as np
+import pytest
+
+from pyrhe_tpu.core.data import load_dataset
+from pyrhe_tpu.core.engine import Engine, ModelSpec, RunConfig
+
+
+def run(ds, use_pallas, model="rhe", genie_model="G", env=False, J=4, B=4,
+        impute="binary"):
+    data = load_dataset(
+        ds["prefix"], annot_file=ds["annot1_path"],
+        pheno_file=ds["pheno_path"],
+        env_file=ds["env_path"] if env else None,
+        num_random_vec=B, seed=7)
+    spec = ModelSpec.build(model, genie_model, data.num_env)
+    cfg = RunConfig(num_random_vec=B, num_jack=J, seed=7,
+                    geno_impute_method=impute, dtype="float32",
+                    mm_mode="exact", use_pallas=use_pallas)
+    eng = Engine(data, spec, cfg)
+    eng.run_precompute_and_assemble()
+    return eng
+
+
+@pytest.mark.parametrize("model,genie_model,env", [
+    ("rhe", "G", False),
+    ("rhe_dom", "G", False),
+    ("genie", "G+GxE+NxE", True),
+])
+def test_pallas_engine_matches_jnp(small_dataset, model, genie_model, env):
+    eng_j = run(small_dataset, use_pallas=False, model=model,
+                genie_model=genie_model, env=env)
+    eng_p = run(small_dataset, use_pallas=True, model=model,
+                genie_model=genie_model, env=env)
+    assert eng_p.use_pallas and not eng_j.use_pallas
+    np.testing.assert_allclose(eng_p.T_all, eng_j.T_all, rtol=5e-4,
+                               atol=5e-3)
+    np.testing.assert_allclose(eng_p.q_all, eng_j.q_all, rtol=5e-4,
+                               atol=5e-3)
+    sj_p, st_p = eng_p.estimate(0)
+    sj_j, st_j = eng_j.estimate(0)
+    np.testing.assert_allclose(st_p, st_j, rtol=2e-3, atol=2e-4)
+
+
+def test_pallas_binary_impute_fills_match(small_dataset):
+    """packed_col_stats-based fills must equal the decode-based fills."""
+    eng_j = run(small_dataset, use_pallas=False)
+    eng_p = run(small_dataset, use_pallas=True)
+    for j in [0, 3]:
+        _, fill_j, mode_j = eng_j._load_block(j)
+        _, fill_p, mode_p = eng_p._load_block(j)
+        assert mode_j == "host" and mode_p == "pallas"
+        m = len(fill_j)
+        np.testing.assert_array_equal(fill_p[:m], fill_j)
+        assert np.all(fill_p[m:] == 0)
