@@ -51,20 +51,25 @@ def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32",
 
     if impl == "pallas":
         from pyrhe_tpu.ops.kernels import pad_to, plane_permutation
-        n_pad = pad_to(N, 512)
-        perm = plane_permutation(n_pad, 512)
+        tm, tn = 512, 1024
+        n_pad = pad_to(N, tn)
+        perm = plane_permutation(n_pad, tn)
         P_nat = np.zeros((n_pad, Bp), np.float32)
         P_nat[:N] = rng.normal(size=(N, Bp))
         P = jax.device_put(P_nat[perm], dev)
         mask = jax.device_put((perm < N).astype(np.float32), dev)
-        assert m % 256 == 0
+        assert m % tm == 0
         nb = n_pad // 4
 
         def stats(blk):
+            # clean=True: blocks are missing-free — the host pipeline
+            # rewrites missing codes with the integral imputation fills
+            # (io/bed.clean_packed) before staging, exactly as
+            # engine._load_block does
             return block_stats_pallas_core(
                 blk, fill, annot_d, P, None, mask, n_indiv=N,
                 components=(("add", None),), b2=b2, dtype=jnp.float32,
-                kernel_dtype=jnp.bfloat16,
+                kernel_dtype=jnp.bfloat16, clean=True, tm=tm, tn=tn,
                 mm_split=(mm_mode == "split2"))
         N_out = n_pad
     else:
@@ -79,8 +84,13 @@ def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32",
         N_out = N
 
     def make_scan(n_blocks):
-        blocks = jax.device_put(rng.integers(
-            0, 256, size=(n_blocks, m, nb), dtype=np.uint8), dev)
+        raw = rng.integers(0, 256, size=(n_blocks, m, nb), dtype=np.uint8)
+        if impl == "pallas":
+            from pyrhe_tpu.io.bed import clean_packed
+            fills = rng.integers(0, 3, size=m).astype(np.float64)
+            for b in range(n_blocks):
+                clean_packed(raw[b], fills, out=raw[b])
+        blocks = jax.device_put(raw, dev)
 
         @jax.jit
         def run(blocks):

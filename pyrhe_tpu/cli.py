@@ -182,6 +182,9 @@ def main(args):
 
 
 def cli_entry(argv=None):
+    if os.environ.get("PYRHE_TPU_DISTRIBUTED") == "1":
+        from .parallel import distributed as dist
+        dist.initialize()
     parser = build_parser()
     args = parser.parse_args(argv)
     if args.config:

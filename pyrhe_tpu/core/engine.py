@@ -143,7 +143,9 @@ class Engine:
                                and self.mm_mode in ("split2", "bf16"))
         else:
             self.use_pallas = bool(self.cfg.use_pallas) and packed_ok
-        self._pl_tm, self._pl_tn = 256, 512
+        # Tile sweep on v5e-class chip (2026-08): tm=512/tn=1024 within ~5%
+        # of the best (512/4096) without forcing large N padding.
+        self._pl_tm, self._pl_tn = 512, 1024
         if self.use_pallas:
             from ..ops.kernels import pad_to, plane_permutation
             self.n_pad = pad_to(self.data.num_indv, self._pl_tn)
@@ -268,10 +270,15 @@ class Engine:
                                              self.data.num_indv, m)
             else:
                 fill = np.zeros(m)
+            from ..io.bed import clean_packed
             from ..ops.kernels import pad_to
+            # Imputation fills are integral (HWE draw / mean-mode 0), so the
+            # missing codes are rewritten into the packed bytes HERE (C++
+            # byte LUT, one pass fused with the pad-copy) and the device
+            # kernels run the no-missing SWAR decode (ops/kernels.py).
             m_pad = pad_to(m, self._pl_tm)
             out = np.zeros((m_pad, self.n_pad // 4), np.uint8)
-            out[:m, :bed.bytes_per_snp] = packed
+            clean_packed(packed, fill, out=out)
             fill_pad = np.zeros(m_pad)
             fill_pad[:m] = fill
             return out, fill_pad, "pallas"
@@ -314,6 +321,7 @@ class Engine:
                 kernel_dtype=(jnp.float32 if self._dev.platform == "cpu"
                               else jnp.bfloat16),
                 mm_split=(self.mm_mode == "split2"),
+                clean=True,
                 interpret=(self._dev.platform == "cpu"),
                 tm=self._pl_tm,
                 tn=self._pl_tn,

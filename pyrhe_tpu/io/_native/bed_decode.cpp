@@ -148,6 +148,60 @@ void bed_packed_col_stats(const uint8_t* packed, int64_t m, int64_t n_orig,
   }
 }
 
+// Rewrite missing codes (0b01) in packed .bed bytes with a per-SNP fill
+// code, writing rows into a (possibly wider, zero-padded) output buffer.
+// fill_code[s] must be one of 0b00/0b10/0b11 (dosage 0/1/2) — imputation
+// fills are always integral (HWE draw or mean-mode 0), so the device
+// kernels can decode with NO missing-branch at all (see ops/kernels.py).
+// out_stride >= bytes_per_snp; trailing bytes of each row are zeroed.
+void bed_clean_packed(const uint8_t* packed, int64_t m, int64_t bytes_per_snp,
+                      const uint8_t* fill_code, uint8_t* out,
+                      int64_t out_stride, int n_threads) {
+  // clean_t[f][b]: byte b with every 0b01 code replaced by fill code f
+  // (f indexed 0..3; 0b01 unused).
+  static uint8_t clean_t[4][256];
+  static bool init = false;
+  if (!init) {
+    for (int f = 0; f < 4; ++f) {
+      for (int b = 0; b < 256; ++b) {
+        uint8_t v = 0;
+        for (int i = 0; i < 4; ++i) {
+          uint8_t code = (b >> (2 * i)) & 3;
+          if (code == 1) code = static_cast<uint8_t>(f);
+          v |= static_cast<uint8_t>(code << (2 * i));
+        }
+        clean_t[f][b] = v;
+      }
+    }
+    init = true;
+  }
+  if (n_threads < 1) n_threads = 1;
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t s = lo; s < hi; ++s) {
+      const uint8_t* src = packed + s * bytes_per_snp;
+      uint8_t* dst = out + s * out_stride;
+      const uint8_t* lut = clean_t[fill_code[s] & 3];
+      for (int64_t b = 0; b < bytes_per_snp; ++b) dst[b] = lut[src[b]];
+      if (out_stride > bytes_per_snp)
+        std::memset(dst + bytes_per_snp, 0,
+                    static_cast<size_t>(out_stride - bytes_per_snp));
+    }
+  };
+  if (n_threads == 1 || m < 8) {
+    work(0, m);
+    return;
+  }
+  std::vector<std::thread> ts;
+  int64_t chunk = (m + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t lo = t * chunk;
+    int64_t hi = lo + chunk < m ? lo + chunk : m;
+    if (lo >= hi) break;
+    ts.emplace_back(work, lo, hi);
+  }
+  for (auto& th : ts) th.join();
+}
+
 // Pack an (m, n) uint8 dosage matrix (255 = missing) into PLINK .bed bytes
 // using the same A2-count convention the decoder emits.
 void bed_encode_block(const uint8_t* dosage, int64_t m, int64_t n,

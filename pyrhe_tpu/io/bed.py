@@ -59,6 +59,10 @@ def _load_native():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.bed_clean_packed.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+        ]
         _lib = lib
     except Exception as e:  # pragma: no cover - toolchain issues
         print(f"[pyrhe_tpu] native bed decoder unavailable ({e}); "
@@ -186,6 +190,60 @@ class BedFile:
         miss = dosage == 255
         sums = np.where(miss, 0, dosage).sum(axis=1).astype(np.float64)
         return sums, miss.sum(axis=1).astype(np.int64)
+
+
+_DOSE2CODE = np.array([0b00, 0b10, 0b11], dtype=np.uint8)
+
+
+def clean_packed(packed: np.ndarray, fill: np.ndarray,
+                 out: np.ndarray | None = None,
+                 num_threads: int | None = None) -> np.ndarray:
+    """Replace missing codes (0b01) with each SNP's integral fill dosage
+    (values in {0,1,2}) directly in the packed bytes, so device kernels
+    decode with no missing branch. Optionally writes into a wider
+    zero-padded `out` (rows zero-extended) in the same pass.
+
+    Returns the cleaned array (== `out` when given)."""
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    m, bps = packed.shape
+    fill_code = _DOSE2CODE[np.asarray(fill, np.int64)]
+    if out is None:
+        out = np.empty_like(packed)
+    assert out.shape[1] >= bps and out.shape[0] >= m and out.dtype == np.uint8
+    lib = _load_native()
+    if lib is not None:
+        lib.bed_clean_packed(
+            packed.ctypes.data, m, bps,
+            np.ascontiguousarray(fill_code).ctypes.data,
+            out.ctypes.data, out.shape[1],
+            num_threads or min(8, os.cpu_count() or 1))
+        return out
+    # NumPy fallback: per-row LUT select
+    luts = _clean_luts()
+    out[:m, :bps] = luts[fill_code][np.arange(m)[:, None],
+                                    packed.astype(np.int64)]
+    out[:m, bps:] = 0
+    return out
+
+
+_CLEAN_LUTS = None
+
+
+def _clean_luts():
+    global _CLEAN_LUTS
+    if _CLEAN_LUTS is None:
+        luts = np.zeros((4, 256), dtype=np.uint8)
+        for f in range(4):
+            for b in range(256):
+                v = 0
+                for i in range(4):
+                    code = (b >> (2 * i)) & 3
+                    if code == 1:
+                        code = f
+                    v |= code << (2 * i)
+                luts[f, b] = v
+        _CLEAN_LUTS = luts
+    return _CLEAN_LUTS
 
 
 def write_bed(path: str, dosage_snp_major: np.ndarray) -> None:

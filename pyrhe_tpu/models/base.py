@@ -135,8 +135,26 @@ class BaseModel:
 
     def _ensure_computed(self):
         if not self._computed:
-            self.engine.run_precompute_and_assemble()
+            if self._want_sharded():
+                self.engine.run_sharded()
+            else:
+                self.engine.run_precompute_and_assemble()
             self._computed = True
+
+    def _want_sharded(self) -> bool:
+        """Use the mesh-sharded full-batch path when requested via
+        PYRHE_TPU_DISTRIBUTED=1 (scripts/tpu_pod_run.sh) and the jackknife
+        axis divides the device count."""
+        if os.environ.get("PYRHE_TPU_DISTRIBUTED") != "1":
+            return False
+        import jax
+        n_dev = len(jax.devices())
+        if n_dev <= 1 or self.cfg.num_jack % n_dev != 0:
+            self.log._debug(
+                f"PYRHE_TPU_DISTRIBUTED set but num_jack={self.cfg.num_jack}"
+                f" not divisible by {n_dev} devices; running sequentially")
+            return False
+        return True
 
     def estimate(self, trait: int = 0, method: str = "QR"):
         self._ensure_computed()

@@ -50,26 +50,56 @@ def pad_to(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
+def _decode_plane(packed32, p, fill, dtype, square=False):
+    """One bit-plane of (TM, TNb) int32-widened packed bytes -> (TM, TNb)
+    dosage (or its elementwise square). relu(code-1) and the missing
+    branch are disjoint, so the square is relu^2 + (code==1)*fill^2.
+
+    Branch-free decode: hi=(c>>1)&1, lo=c&1, t=hi*lo gives
+    dose = hi + t  (0,2,3 -> 0,1,2)  and  miss = lo - t  (1 -> 1)."""
+    hi = (packed32 >> (2 * p + 1)) & 1
+    lo = (packed32 >> (2 * p)) & 1
+    t = hi & lo
+    base = hi + t
+    if square:
+        base = base + (t << 1)       # (hi+t)^2 = hi + 3t = base + 2t
+    miss = lo - t
+    return base.astype(dtype) + miss.astype(dtype) * fill
+
+
 def _decode_tile(packed, fill_col, dtype, square=False):
     """(TM, TNb) packed u8 + (TM, 1) fill -> (TM, 4*TNb) dosage (or its
-    elementwise square) in plane order. relu(code-1) and the missing
-    branch are disjoint, so the square is relu^2 + (code==1)*fill^2."""
+    elementwise square) in plane order."""
     fill = fill_col.astype(dtype)
     if square:
         fill = fill * fill
-    planes = []
     packed32 = packed.astype(jnp.int32)  # Mosaic can't shift sub-32-bit ints
-    for p in range(4):
-        code = (packed32 >> (2 * p)) & 3
-        base = jnp.maximum(code - 1, 0)
-        if square:
-            base = base * base
-        # miss = [code == 1] as integer math (bool selects with broadcast
-        # operands trip a Mosaic relayout bug)
-        miss = (code & 1) * (1 - (code >> 1))
-        dose = base.astype(dtype) + miss.astype(dtype) * fill
-        planes.append(dose)
-    return jnp.concatenate(planes, axis=1)
+    return jnp.concatenate(
+        [_decode_plane(packed32, p, fill, dtype, square) for p in range(4)],
+        axis=1)
+
+
+def _swar_doses(packed32):
+    """SWAR decode of CLEANED bytes (no 0b01 missing codes, io/bed.py's
+    clean_packed): all four 2-bit codes of each byte map to their dosages
+    simultaneously —
+
+        d = ((b>>1) & 0x55) + (((b>>1) & 0x55) & b)
+
+    hi bits land at even positions, and hi&lo adds 1 exactly for code 0b11;
+    each 2-bit field holds dosage {0,1,2} with no carry into the next field.
+    4 integer ops replace the 4x per-plane extract+branch-free-missing
+    dance (the VPU decode, not the MXU, bounds these kernels)."""
+    h = (packed32 >> 1) & 0x55555555
+    return h + (h & packed32)
+
+
+def _swar_plane(d, p, dtype, square=False):
+    """Extract plane p's dosage (or its square) from SWAR-packed fields."""
+    dp = (d >> (2 * p)) & 3
+    if square:
+        dp = dp + (dp & 2)          # 0,1,2 -> 0,1,4
+    return dp.astype(dtype)
 
 
 def _dots(g, r, dims, split, dtype):
@@ -85,40 +115,109 @@ def _dots(g, r, dims, split, dtype):
     return dot(hi) + dot(lo)
 
 
+def _plane_iter(packed_ref, fill_ref, dtype, square, clean):
+    """Yield the 4 decoded (TM, TNb) plane tiles, via the 4-op SWAR decode
+    when the bytes are pre-cleaned (no missing codes) or the branch-free
+    missing-fill decode otherwise."""
+    packed32 = packed_ref[:].astype(jnp.int32)
+    if clean:
+        d = _swar_doses(packed32)
+        for p in range(4):
+            yield _swar_plane(d, p, dtype, square)
+    else:
+        fill = fill_ref[:].astype(dtype)
+        if square:
+            fill = fill * fill
+        for p in range(4):
+            yield _decode_plane(packed32, p, fill, dtype, square)
+
+
 def _gp_kernel(packed_ref, fill_ref, c_ref, out_ref, *, dtype, square,
-               split):
+               split, planewise, clean):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    g = _decode_tile(packed_ref[:], fill_ref[:], dtype, square)  # (TM, TN)
-    out_ref[:] += _dots(g, c_ref[:], ((1,), (0,)), split, dtype)
+    tnb = packed_ref.shape[1]
+    if planewise:
+        # One dot per bit-plane: plane p+1's VPU decode overlaps plane p's
+        # MXU pass (the planes are independent until the accumulate).
+        acc = None
+        for p, g in enumerate(_plane_iter(packed_ref, fill_ref, dtype,
+                                          square, clean)):
+            d = _dots(g, c_ref[p * tnb:(p + 1) * tnb, :], ((1,), (0,)),
+                      split, dtype)
+            acc = d if acc is None else acc + d
+        out_ref[:] += acc
+    else:
+        g = jnp.concatenate(list(_plane_iter(packed_ref, fill_ref, dtype,
+                                             square, clean)), axis=1)
+        out_ref[:] += _dots(g, c_ref[:], ((1,), (0,)), split, dtype)
 
 
 def _xxg_kernel(packed_ref, fill_ref, y_ref, out_ref, *, dtype, square,
-                split):
+                split, planewise, clean):
     i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    g = _decode_tile(packed_ref[:], fill_ref[:], dtype, square)  # (TM, TN)
-    # g^T @ y : contract the SNP (sublane) dim of both — transpose fused
-    out_ref[:] += _dots(g, y_ref[:], ((0,), (0,)), split, dtype)
+    tnb = packed_ref.shape[1]
+    if planewise:
+        y = y_ref[:]
+        for p, g in enumerate(_plane_iter(packed_ref, fill_ref, dtype,
+                                          square, clean)):
+            # g^T @ y : contract the SNP (sublane) dim of both
+            out_ref[p * tnb:(p + 1) * tnb, :] += _dots(
+                g, y, ((0,), (0,)), split, dtype)
+    else:
+        g = jnp.concatenate(list(_plane_iter(packed_ref, fill_ref, dtype,
+                                             square, clean)), axis=1)
+        out_ref[:] += _dots(g, y_ref[:], ((0,), (0,)), split, dtype)
+
+
+def _ytg_kernel(packed_ref, fill_ref, yt_ref, out_ref, *, dtype, square,
+                split, clean):
+    """Transposed stage 2: out (Q, tn) += y^T g. Feeding the SMALL operand
+    pre-transposed keeps every MXU pass in native (M,K)@(K,N) form — no
+    relayout of the big decoded tile (the ((0,),(0,)) contraction in
+    _xxg_kernel costs a transpose of g per tile)."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    tnb = packed_ref.shape[1]
+    yt = yt_ref[:]
+    for p, g in enumerate(_plane_iter(packed_ref, fill_ref, dtype,
+                                      square, clean)):
+        out_ref[:, p * tnb:(p + 1) * tnb] += _dots(
+            yt, g, ((1,), (0,)), split, dtype)
+
+
+def _compiler_params(interpret, semantics):
+    if interpret:
+        return None
+    try:
+        return pltpu.CompilerParams(dimension_semantics=semantics)
+    except TypeError:                            # older pltpu API name
+        return pltpu.TPUCompilerParams(dimension_semantics=semantics)
 
 
 @functools.partial(jax.jit, static_argnames=("tm", "tn", "dtype",
                                              "interpret", "square",
-                                             "split"))
+                                             "split", "planewise", "clean"))
 def gp_matmul(packed, fill, C_perm, *, tm=256, tn=512, dtype=jnp.bfloat16,
-              interpret=False, square=False, split=False):
+              interpret=False, square=False, split=False, planewise=True,
+              clean=False):
     """GP = g @ C with in-kernel decode.
 
     packed: (m_pad, nb_pad) u8, rows zero-padded; fill: (m_pad, 1) f32;
-    C_perm: (n_pad, W) f32 in plane order, zero rows for padding.
+    C_perm: (n_pad, W) f32 (or bf16) in plane order, zero rows for padding.
     Returns (m_pad, W) f32.
     """
     m_pad, nb_pad = packed.shape
@@ -128,7 +227,7 @@ def gp_matmul(packed, fill, C_perm, *, tm=256, tn=512, dtype=jnp.bfloat16,
     grid = (m_pad // tm, (4 * nb_pad) // tn)
     return pl.pallas_call(
         functools.partial(_gp_kernel, dtype=dtype, square=square,
-                          split=split),
+                          split=split, planewise=planewise, clean=clean),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tm, tnb), lambda i, j: (i, j),
@@ -141,18 +240,25 @@ def gp_matmul(packed, fill, C_perm, *, tm=256, tn=512, dtype=jnp.bfloat16,
         out_specs=pl.BlockSpec((tm, W), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, W), jnp.float32),
+        compiler_params=_compiler_params(interpret,
+                                         ("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n_pad * W * (2 if split else 1),
+            bytes_accessed=m_pad * nb_pad + n_pad * W * 4 + m_pad * W * 4,
+            transcendentals=0),
         interpret=interpret,
     )(packed, fill, C_perm)
 
 
 @functools.partial(jax.jit, static_argnames=("tm", "tn", "dtype",
                                              "interpret", "square",
-                                             "split"))
+                                             "split", "planewise", "clean"))
 def xxg_matmul(packed, fill, Y, *, tm=256, tn=512, dtype=jnp.bfloat16,
-               interpret=False, square=False, split=False):
+               interpret=False, square=False, split=False, planewise=True,
+               clean=False):
     """XXG = g^T @ Y with in-kernel decode.
 
-    packed: (m_pad, nb_pad) u8; fill: (m_pad, 1); Y: (m_pad, Q) f32
+    packed: (m_pad, nb_pad) u8; fill: (m_pad, 1); Y: (m_pad, Q) f32 or bf16
     (zero rows for padded SNPs). Returns (4*nb_pad, Q) f32 in plane order.
     """
     m_pad, nb_pad = packed.shape
@@ -162,7 +268,7 @@ def xxg_matmul(packed, fill, Y, *, tm=256, tn=512, dtype=jnp.bfloat16,
     grid = ((4 * nb_pad) // tn, m_pad // tm)
     return pl.pallas_call(
         functools.partial(_xxg_kernel, dtype=dtype, square=square,
-                          split=split),
+                          split=split, planewise=planewise, clean=clean),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tm, tnb), lambda j, i: (i, j),
@@ -175,5 +281,56 @@ def xxg_matmul(packed, fill, Y, *, tm=256, tn=512, dtype=jnp.bfloat16,
         out_specs=pl.BlockSpec((tn, Q), lambda j, i: (j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4 * nb_pad, Q), jnp.float32),
+        compiler_params=_compiler_params(interpret,
+                                         ("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * 4 * nb_pad * Q * (2 if split else 1),
+            bytes_accessed=m_pad * nb_pad + m_pad * Q * 4
+            + 4 * nb_pad * Q * 4,
+            transcendentals=0),
         interpret=interpret,
     )(packed, fill, Y)
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tn", "dtype",
+                                             "interpret", "square",
+                                             "clean"))
+def ytg_matmul(packed, fill, Yt, *, tm=256, tn=512, dtype=jnp.bfloat16,
+               interpret=False, square=False, clean=False):
+    """XXG^T = Y^T @ g with in-kernel decode — the transposed form of
+    xxg_matmul. Pre-transposing the SMALL (m, Q) operand to (Q, m) keeps
+    the MXU pass in native (M,K)@(K,N) form so the big decoded tile is
+    never relayouted. Returns (Q, 4*nb_pad) f32 in plane order.
+
+    packed: (m_pad, nb_pad) u8; fill: (m_pad, 1); Yt: (Q, m_pad) f32/bf16
+    (zero cols for padded SNPs).
+    """
+    m_pad, nb_pad = packed.shape
+    Q, _ = Yt.shape
+    assert m_pad % tm == 0 and (4 * nb_pad) % tn == 0
+    tnb = tn // 4
+    grid = ((4 * nb_pad) // tn, m_pad // tm)
+    return pl.pallas_call(
+        functools.partial(_ytg_kernel, dtype=dtype, square=square,
+                          split=False, clean=clean),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tnb), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, tm), lambda j, i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Q, tn), lambda j, i: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Q, 4 * nb_pad), jnp.float32),
+        compiler_params=_compiler_params(interpret,
+                                         ("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * 4 * nb_pad * Q,
+            bytes_accessed=m_pad * nb_pad + m_pad * Q * 4
+            + 4 * nb_pad * Q * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(packed, fill, Yt)

@@ -105,11 +105,13 @@ def block_stats_core(
 
 
 def _moment_algebra(mm1, mm2, N, annot_f, P, env, *, n_indiv, components,
-                    b2, dtype, valid_mask=None):
+                    b2, dtype, valid_mask=None, mm2_t=False):
     """Shared post-matmul algebra. mm1(which, C) computes g@C / g2@C over
     an (N, W) right operand; mm2(which, Y) computes g^T@Y / g2^T@Y over an
     (m, Q) right operand, returning N rows (padded rows masked by
-    valid_mask when the matmuls run in padded/permuted layout)."""
+    valid_mask when the matmuls run in padded/permuted layout). With
+    mm2_t, mm2 returns the TRANSPOSED (Q, N) result (the Pallas ytg
+    kernel's native output layout — avoids relayouting the decoded tile)."""
     m, K = annot_f.shape
     Bp = P.shape[1]
 
@@ -170,7 +172,7 @@ def _moment_algebra(mm1, mm2, N, annot_f, P, env, *, n_indiv, components,
 
     # ---- stage 2: one wide g^T matmul (+ one g2^T matmul for dominance) ----
     YG = jnp.concatenate(Y_g_list, axis=1)         # (m, n_comp*K*b2)
-    XXG = mm2("g", YG)                             # (N, n_comp*K*b2)
+    XXG = mm2("g", YG)                      # (N, Q) or (Q, N) when mm2_t
     dom_cols = [y for y in Y_g2_list if y is not None]
     XXG2 = mm2("g2", jnp.concatenate(dom_cols, axis=1)) if dom_cols else None
 
@@ -178,6 +180,18 @@ def _moment_algebra(mm1, mm2, N, annot_f, P, env, *, n_indiv, components,
     q = K * b2
     dom_off = 0
     for i, (kind, eidx) in enumerate(components):
+        if mm2_t:
+            part = XXG[i * q:(i + 1) * q]          # (q, N)
+            if kind == "dom":
+                part = part + XXG2[dom_off * q:(dom_off + 1) * q]
+                dom_off += 1
+            part = part - rank1_list[i][:, None]
+            if scales[i] is not None:
+                part = part * scales[i][None, :].astype(part.dtype)
+            if valid_mask is not None:
+                part = part * valid_mask[None, :].astype(part.dtype)
+            XXPs.append(part.reshape(K, b2, N).transpose(0, 2, 1))
+            continue
         part = XXG[:, i * q:(i + 1) * q]
         if kind == "dom":
             part = part + XXG2[:, dom_off * q:(dom_off + 1) * q]
@@ -216,6 +230,7 @@ def block_stats_pallas_core(
     dtype=jnp.float32,
     kernel_dtype=jnp.bfloat16,
     mm_split: bool = False,
+    clean: bool = False,
     interpret: bool = False,
     tm: int = 256,
     tn: int = 512,
@@ -224,30 +239,64 @@ def block_stats_pallas_core(
     (ops/kernels.py). Inputs follow the plane-permutation contract; the
     returned XXP rows are in the same permuted order, which is invisible
     downstream because every consumer contracts over individuals with
-    equally-permuted arrays. mm_split=True recovers ~f32 accuracy with
-    bf16 MXU passes on a hi/lo split of the probe-side operand (split2)."""
-    from .kernels import gp_matmul, xxg_matmul
+    equally-permuted arrays.
+
+    mm_split=True recovers ~f32 accuracy with bf16 MXU passes on a hi/lo
+    split of the probe-side operand (split2). clean=True promises the
+    packed bytes hold NO missing codes (io/bed.clean_packed rewrote them
+    with the integral imputation fills), enabling the 4-op SWAR decode.
+    Stage 2 always feeds the small operand pre-transposed (ytg_matmul) so
+    no decoded tile is ever relayouted."""
+    from .kernels import gp_matmul, ytg_matmul
 
     fill2 = fill[:, None].astype(jnp.float32)
     N = P_perm.shape[0]
     split = mm_split and kernel_dtype == jnp.bfloat16
 
-    def run(kern, R, which):
-        return kern(packed, fill2, R.astype(jnp.float32), tm=tm, tn=tn,
-                    dtype=kernel_dtype, interpret=interpret,
-                    square=(which == "g2"), split=split).astype(dtype)
+    def _hilo(R32, axis):
+        hi = R32.astype(jnp.bfloat16)
+        lo = (R32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return jnp.concatenate([hi, lo], axis=axis)
 
-    mm1 = lambda which, C: run(gp_matmul, C, which)
-    mm2 = lambda which, Y: run(xxg_matmul, Y, which)
-    return _moment_algebra(mm1, mm2, N, annot_f, P_perm, env_perm,
+    def run1(which, C):
+        """split2 packs the probe-side hi/lo bf16 halves side by side so the
+        f32-accuracy path costs ONE MXU pass over a 2W-wide operand (vs two
+        W-wide passes): ceil(2W/128) <= 2*ceil(W/128) lane tiles always."""
+        C32 = C.astype(jnp.float32)
+        if split:
+            out = gp_matmul(packed, fill2, _hilo(C32, 1), tm=tm, tn=tn,
+                            dtype=kernel_dtype, interpret=interpret,
+                            square=(which == "g2"), clean=clean)
+            W = C.shape[1]
+            return (out[:, :W] + out[:, W:]).astype(dtype)
+        return gp_matmul(packed, fill2, C32, tm=tm, tn=tn,
+                         dtype=kernel_dtype, interpret=interpret,
+                         square=(which == "g2"), clean=clean).astype(dtype)
+
+    def run2(which, Y):
+        Yt = Y.astype(jnp.float32).T               # (Q, m) — small relayout
+        if split:
+            out = ytg_matmul(packed, fill2, _hilo(Yt, 0), tm=tm, tn=tn,
+                             dtype=kernel_dtype, interpret=interpret,
+                             square=(which == "g2"), clean=clean)
+            Q = Yt.shape[0]
+            return (out[:Q] + out[Q:]).astype(dtype)
+        # _ytg_kernel uses the lhs operand as-is (only the rhs is cast);
+        # cast the probe side to the kernel dtype here
+        return ytg_matmul(packed, fill2, Yt.astype(kernel_dtype),
+                          tm=tm, tn=tn, dtype=kernel_dtype,
+                          interpret=interpret, square=(which == "g2"),
+                          clean=clean).astype(dtype)
+
+    return _moment_algebra(run1, run2, N, annot_f, P_perm, env_perm,
                            n_indiv=n_indiv, components=components, b2=b2,
-                           dtype=dtype, valid_mask=valid_mask)
+                           dtype=dtype, valid_mask=valid_mask, mm2_t=True)
 
 
 block_stats_pallas = partial(
     jax.jit,
     static_argnames=("n_indiv", "components", "b2", "dtype", "kernel_dtype",
-                     "mm_split", "interpret", "tm", "tn"),
+                     "mm_split", "clean", "interpret", "tm", "tn"),
 )(block_stats_pallas_core)
 
 

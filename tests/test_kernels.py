@@ -106,3 +106,60 @@ def test_block_stats_pallas_matches_jnp(components):
     np.testing.assert_allclose(XXP1n, np.asarray(XXP0), rtol=1e-4,
                                atol=5e-3)
     np.testing.assert_allclose(np.asarray(M1), np.asarray(M0))
+
+
+def test_clean_packed_removes_missing():
+    from pyrhe_tpu.io.bed import clean_packed, decode_packed
+
+    rng = np.random.default_rng(7)
+    dos = rng.integers(0, 3, size=(64, 213)).astype(np.uint8)
+    dos[rng.random(dos.shape) < 0.2] = 255
+    packed = encode_dosage(dos)
+    fill = rng.integers(0, 3, size=64)
+    cleaned = clean_packed(packed, fill.astype(np.float64))
+    out = decode_packed(cleaned, 213)
+    expect = np.where(dos == 255, fill[:, None], dos)
+    np.testing.assert_array_equal(out, expect)
+    # padded wide output: trailing bytes zeroed
+    wide = np.full((64, packed.shape[1] + 5), 9, np.uint8)
+    clean_packed(packed, fill.astype(np.float64), out=wide)
+    assert np.all(wide[:, packed.shape[1]:] == 0)
+    np.testing.assert_array_equal(decode_packed(
+        wide[:, :packed.shape[1]], 213), expect)
+
+
+@pytest.mark.parametrize("square", [False, True])
+def test_clean_swar_kernels(square):
+    """Clean path: SWAR decode (gp) and transposed stage-2 (ytg) equal the
+    dense reference on pre-cleaned bytes."""
+    from pyrhe_tpu.io.bed import clean_packed
+    from pyrhe_tpu.ops.kernels import gp_matmul, ytg_matmul
+
+    packed_pad, fill_pad, g, perm, m, n, m_pad, n_pad = make_inputs(seed=5)
+    clean_pad = np.zeros_like(packed_pad)
+    clean_packed(packed_pad[:m], fill_pad[:m], out=clean_pad[:m])
+    gg = g ** 2 if square else g
+
+    rng = np.random.default_rng(6)
+    W = 8
+    C = rng.normal(size=(n_pad, W))
+    C[n:] = 0.0
+    gp = np.asarray(gp_matmul(
+        jnp.asarray(clean_pad), jnp.asarray(fill_pad[:, None] * 0,
+                                            jnp.float32),
+        jnp.asarray(C[perm], jnp.float32), tm=TM, tn=TN, dtype=jnp.float32,
+        interpret=True, square=square, clean=True))
+    np.testing.assert_allclose(gp[:m], gg @ C[:n], rtol=2e-5, atol=1e-3)
+
+    Yt = rng.normal(size=(W, m_pad))
+    Yt[:, m:] = 0.0
+    ytg = np.asarray(ytg_matmul(
+        jnp.asarray(clean_pad), jnp.asarray(fill_pad[:, None] * 0,
+                                            jnp.float32),
+        jnp.asarray(Yt, jnp.float32), tm=TM, tn=TN, dtype=jnp.float32,
+        interpret=True, square=square, clean=True))
+    expect = Yt[:, :m] @ gg                    # (W, n) natural order
+    expect_pad = np.zeros((W, n_pad))
+    expect_pad[:, :n] = expect
+    np.testing.assert_allclose(ytg, expect_pad[:, perm], rtol=2e-5,
+                               atol=1e-3)
