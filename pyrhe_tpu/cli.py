@@ -130,6 +130,9 @@ def main(args):
         raise ValueError(
             'Must set both or neither of --samp-prev and --pop-prev.')
 
+    from .utils.platform import ensure_platform
+    ensure_platform(args.device, args.dtype)
+
     params = {
         'geno_file': args.genotype,
         'annot_file': args.annotation,

@@ -61,9 +61,12 @@ class BaseModel:
         self.samp_prev = samp_prev
         self.pop_prev = pop_prev
         self.genie_model = genie_model
-        if device in ("cuda", "gpu", "cpu"):
+        if device in ("cuda", "gpu"):
             # reference device names; we run wherever JAX has an accelerator
             device = "auto"
+        elif device == "cpu":
+            from ..utils.platform import ensure_platform
+            ensure_platform("cpu", dtype)
 
         self.data = load_dataset(
             geno_file,

@@ -1,0 +1,73 @@
+"""Integration test mirroring the reference's test strategy (reference
+pyrhe/test/integration_test/test_rhe.py): run the real CLI on the example
+dataset via a config file, regex-parse the human-readable output, and
+assert against committed golden values using SE-interval overlap.
+
+The golden outputs in example/outputs/ were produced by the CPU float64
+path (`example/make_example.py` + `--device cpu --dtype float64`); this
+test regenerates the dataset (deterministic seeds) and checks one config
+end-to-end, asserting |est - golden| <= SE_est + SE_golden like the
+reference's is_within_range (test_rhe.py:154-163) plus a tight relative
+check (same platform => near-exact).
+"""
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from parse_output import parse_output_file  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def example_dir(tmp_path_factory):
+    """Synthesize the example dataset into a tempdir copy of example/."""
+    import shutil
+
+    d = tmp_path_factory.mktemp("example")
+    for name in ("make_example.py", "test.sh"):
+        shutil.copy(os.path.join(ROOT, "example", name), d)
+    shutil.copytree(os.path.join(ROOT, "example", "configs"),
+                    d / "configs")
+    subprocess.run([sys.executable, str(d / "make_example.py")], check=True,
+                   env=_env())
+    return d
+
+
+def _env():
+    """Subprocess env: CPU backend, repo importable (PYTHONPATH appended,
+    never clobbered — TPU plugin sites may live there)."""
+    e = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    e["PYTHONPATH"] = ROOT + os.pathsep + e.get("PYTHONPATH", "")
+    return e
+
+
+def test_rhe_bin1_matches_golden(example_dir):
+    golden = parse_output_file(os.path.join(
+        ROOT, "example", "outputs", "rhe", "no_streaming_bin_1.txt"))
+    out = example_dir / "out.txt"
+    cfg = example_dir / "configs" / "rhe" / "no_streaming_bin_1.txt"
+    text = cfg.read_text().replace(
+        "output = outputs/rhe/no_streaming_bin_1.txt", f"output = {out}")
+    cfg.write_text(text)
+    subprocess.run(
+        [sys.executable, os.path.join(ROOT, "run_rhe.py"), "--config",
+         str(cfg), "--device", "cpu", "--dtype", "float64", "--suppress"],
+        check=True, cwd=example_dir, env=_env())
+    got = parse_output_file(str(out))
+
+    for key in ("sigma2_g", "h2_g", "enrichment_g"):
+        assert len(got[key]) == len(golden[key]) >= 1, key
+        for a, b in zip(got[key], golden[key]):
+            # reference-style interval overlap ...
+            assert abs(a["value"] - b["value"]) <= a["se"] + b["se"] + 1e-12
+            # ... plus near-exact same-platform determinism
+            assert abs(a["value"] - b["value"]) <= 1e-6 * max(
+                1.0, abs(b["value"]))
+    assert abs(got["sigma2_e"]["value"]
+               - golden["sigma2_e"]["value"]) <= 1e-6
+    assert abs(got["total_h2"]["value"]
+               - golden["total_h2"]["value"]) <= 1e-6
