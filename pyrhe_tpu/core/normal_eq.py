@@ -107,3 +107,72 @@ def assemble_Tq_core(
 assemble_Tq = partial(
     jax.jit, static_argnames=("num_random_vec", "n_indiv", "n_cov"),
 )(assemble_Tq_core)
+
+
+def assemble_Tq_chunk_core(
+    tot_XXP,      # (E_geno, N, b2) pass-1 totals
+    tot_y,        # (E_geno, T)
+    blocks_XXP,   # (C, E_geno, N, b2) per-block stats (zeros row => total)
+    blocks_y,     # (C, E_geno, T)
+    M_rows,       # (C, E) leave-one-out counts
+    nxe_XXP,      # (num_nxe, N, b2) or (0, N, b2)
+    nxe_y,        # (num_nxe, T) or (0, T)
+    Z, Uzb, C, Q, q_last, stoch_mask,
+    *,
+    num_random_vec: int,
+    n_indiv: int,
+    n_cov: int,
+):
+    """Batched leave-one-out + normal-equation assembly: C jackknife
+    samples per device dispatch (vmap over assemble_Tq_core). One call
+    replaces C round-trips — the per-dispatch latency of a remote/tunneled
+    TPU otherwise dominates pass 2 (measured ~0.6 s/call at N=50k)."""
+    def body(_, xs):
+        bX, by, M = xs
+        X = tot_XXP - bX
+        y = tot_y - by
+        if nxe_XXP.shape[0]:
+            X = jnp.concatenate([X, nxe_XXP], axis=0)
+            y = jnp.concatenate([y, nxe_y], axis=0)
+        T, q = assemble_Tq_core(
+            X, y, M, Z, Uzb, C, Q, q_last, stoch_mask,
+            num_random_vec=num_random_vec, n_indiv=n_indiv, n_cov=n_cov)
+        return None, (T, q)
+
+    # lax.scan, not vmap: the body compiles ONCE regardless of C (a
+    # vmapped gram over (C, E, N, b2) ballooned compile time on the
+    # tunnel's remote compiler), and one dispatch covers all C samples.
+    _, (T, q) = jax.lax.scan(body, None, (blocks_XXP, blocks_y, M_rows))
+    return T, q
+
+
+assemble_Tq_chunk = partial(
+    jax.jit, static_argnames=("num_random_vec", "n_indiv", "n_cov"),
+)(assemble_Tq_chunk_core)
+
+
+def assemble_Tq_all_core(
+    tot_XXP, tot_y,
+    chunks_X,     # tuple of (C_i, E_geno, N, b2) precompute chunks
+    chunks_y,     # tuple of (C_i, E_geno, T)
+    M_rows,       # (J+1, E) — LAST row is the full-data sample
+    nxe_XXP, nxe_y, Z, Uzb, C, Q, q_last, stoch_mask,
+    *,
+    num_random_vec: int,
+    n_indiv: int,
+    n_cov: int,
+):
+    """Whole pass 2 in ONE dispatch: concatenates the precompute chunks
+    (plus a zero block = the full-data sample) in-graph and scans
+    assemble_Tq_core over all J+1 samples."""
+    blocks_X = jnp.concatenate(list(chunks_X) + [tot_XXP[None] * 0], axis=0)
+    blocks_y = jnp.concatenate(list(chunks_y) + [tot_y[None] * 0], axis=0)
+    return assemble_Tq_chunk_core(
+        tot_XXP, tot_y, blocks_X, blocks_y, M_rows, nxe_XXP, nxe_y,
+        Z, Uzb, C, Q, q_last, stoch_mask,
+        num_random_vec=num_random_vec, n_indiv=n_indiv, n_cov=n_cov)
+
+
+assemble_Tq_all = partial(
+    jax.jit, static_argnames=("num_random_vec", "n_indiv", "n_cov"),
+)(assemble_Tq_all_core)

@@ -35,12 +35,15 @@ def make_dataset(
         f.write(bytes([0x6C, 0x1B, 0x01]))
         for s0 in range(0, num_snp, chunk):
             s1 = min(s0 + chunk, num_snp)
-            p = mafs[s0:s1][:, None]
-            u = rng.random((s1 - s0, num_indiv))
-            geno = ((u < p * p) * 1 + (u < (p * p + 2 * p * (1 - p))) * 1
-                    ).astype(np.uint8)  # 2 with prob p^2, 1 with 2p(1-p)
+            p = mafs[s0:s1][:, None].astype(np.float32)
+            # float32 randoms + in-place compares: biobank-scale synthesis
+            # (N=300k, M=500k) is RNG-bandwidth-bound
+            u = rng.random((s1 - s0, num_indiv), dtype=np.float32)
+            geno = (u < p * p).astype(np.uint8)   # 2 with prob p^2
+            geno += u < (p * p + 2 * p * (1 - p))  # +1 with p^2+2p(1-p)
             if missing_rate > 0:
-                miss = rng.random(geno.shape) < missing_rate
+                miss = rng.random(geno.shape,
+                                  dtype=np.float32) < missing_rate
                 geno = np.where(miss, np.uint8(255), geno)
             from .bed import encode_dosage
             f.write(encode_dosage(geno).tobytes())
@@ -106,25 +109,30 @@ def simulate_pheno_file(
         y = np.zeros(num_indiv)
         for s0 in range(0, num_snp, 4096):
             s1 = min(s0 + 4096, num_snp)
-            g = bed.read_block(s0, s1).astype(np.float64)  # (m, N)
-            g[g == 255] = np.nan
-            mean = np.nanmean(g, axis=1)
-            g = np.where(np.isnan(g), mean[:, None], g)
+            g = bed.read_block(s0, s1)                    # (m, N) u8
+            sums, nmiss = bed.col_stats(g)
+            n_obs = np.maximum(g.shape[1] - nmiss, 1)
+            mean = (sums / n_obs).astype(np.float32)
+            gf = g.astype(np.float32)
+            miss = g == 255
+            if miss.any():
+                gf[miss] = np.broadcast_to(mean[:, None], g.shape)[miss]
             sd = np.sqrt(mean * (1 - 0.5 * mean))
             sd[sd == 0] = 1.0
-            gs = (g - mean[:, None]) / sd[:, None]  # standardized (m, N)
+            gs = (gf - mean[:, None]) / sd[:, None]  # standardized (m, N)
             for k in range(num_bin):
                 mask = annot[s0:s1, k] == 1
                 if not mask.any() or len_bin[k] == 0:
                     continue
                 beta = rng.normal(0, np.sqrt(sigma_list[k] / len_bin[k]),
                                   size=mask.sum())
-                contrib = gs[mask].T @ beta
+                contrib = gs[mask].T @ beta.astype(np.float32)
                 y += contrib
                 if env is not None and sigma_gxe > 0:
                     beta_gxe = rng.normal(
                         0, np.sqrt(sigma_gxe / len_bin[k]), size=mask.sum())
-                    y += env[:, 0] * (gs[mask].T @ beta_gxe)
+                    y += env[:, 0] * (gs[mask].T
+                                      @ beta_gxe.astype(np.float32))
         resid = max(1.0 - sum(sigma_list) - sigma_gxe, 0.05)
         y += rng.normal(0, np.sqrt(resid), size=num_indiv)
         if cov is not None:
