@@ -117,8 +117,21 @@ class Engine:
 
         self._dev = self._pick_device(cfg.device)
         self._setup_pallas()
+        # Auto-streaming: the non-streaming cache holds J blocks of
+        # (E_geno, N, b2) f32 on device; fall back to the (numerically
+        # identical) two-pass mode when that would not fit in HBM.
+        cache_bytes = (cfg.num_jack * self.E_geno
+                       * (data.num_indv * 4) * self.b2)
+        if (not cfg.streaming and self._dev.platform != "cpu"
+                and cache_bytes > 8e9):
+            self.log._log(
+                f"Note: per-block stats cache (~{cache_bytes / 1e9:.1f} GB)"
+                " exceeds the device memory budget; using streaming"
+                " (two-pass) mode")
+            self.cfg = cfg = RunConfig(**{**cfg.__dict__, "streaming": True})
         self._build_static_arrays()
         self._cache: dict[int, tuple] = {}
+        self._chunk_cache: list = []
         self._tot = None
         self.M_mat = self._build_M_matrix()
         self.trace_sums = None
@@ -625,8 +638,10 @@ class Engine:
         d = self.data
         # last block absorbs the remainder (base.py:362-379), so pad to its size
         m_pad = d.num_snp - (self.J - 1) * (d.num_snp // self.J)
-        use_packed = (d.bed.keep_idx is None
-                      and self.cfg.geno_impute_method == "mean")
+        # Packed (2-bit) blocks whenever there's no individual filtering:
+        # integral imputation fills are rewritten into the bytes
+        # (clean_packed), so both impute modes ship 4x fewer bytes per chip
+        use_packed = d.bed.keep_idx is None
         W = d.bed.bytes_per_snp if use_packed else d.num_indv
         np_dt = np.float64 if self.dtype == jnp.float64 else np.float32
 
@@ -635,9 +650,21 @@ class Engine:
         annots = np.zeros((self.J, m_pad, self.K), dtype=np_dt)
         for j in range(self.J):
             s, e = self._block_range(j)
-            geno, fill, packed = self._load_block(j, raw=True)
-            genos[j, :e - s] = geno
-            fills[j, :e - s] = fill
+            if use_packed:
+                from ..io.bed import clean_packed
+                bed = d.bed
+                packed = bed.read_packed_block(s, e)
+                if self.cfg.geno_impute_method == "binary":
+                    sums, nmiss = bed.packed_col_stats(packed)
+                    fill = self._fill_from_stats(sums, nmiss, d.num_indv,
+                                                 e - s)
+                else:
+                    fill = np.zeros(e - s)
+                clean_packed(packed, fill, out=genos[j, :e - s])
+            else:
+                geno, fill, _ = self._load_block(j, raw=True)
+                genos[j, :e - s] = geno
+                fills[j, :e - s] = fill
             annots[j, :e - s] = d.annot[s:e]
 
         step = make_sharded_step(

@@ -122,3 +122,24 @@ def test_float32_close_to_float64(small_dataset):
     _, st64 = eng64.estimate(0)
     _, st32 = eng32.estimate(0)
     np.testing.assert_allclose(st32, st64, rtol=2e-3, atol=2e-4)
+
+
+def test_genie_multi_env(small_dataset, tmp_path):
+    """num_env > 1 with the CORRECTED GxE estimate indexing
+    (k_gxe = num_bin + e*num_bin + k; the reference's collides for
+    num_env > 1, genie.py:65 — SURVEY 2.6)."""
+    from pyrhe_tpu.io import synth
+
+    env_path = str(tmp_path / "multi.env")
+    synth.make_env_file(env_path, N, num_env=2, seed=11)
+    ds = dict(small_dataset, env_path=env_path)
+    data, eng = run_engine(ds, model="genie", genie_model="G+GxE+NxE",
+                           cov=True, env=True)
+    assert data.num_env == 2
+    orc = make_oracle(ds, data, model="genie", genie_model="G+GxE+NxE")
+    sj_o, st_o = orc.estimate()
+    sj_e, st_e = eng.estimate(0)
+    assert eng.E == 1 + 2 + 2                  # G + 2 GxE + 2 NxE
+    np.testing.assert_allclose(eng.M_mat, orc.Mmat)
+    np.testing.assert_allclose(st_e, st_o, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(sj_e, sj_o, rtol=1e-6, atol=1e-8)
