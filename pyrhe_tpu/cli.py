@@ -88,6 +88,9 @@ def build_parser():
     parser.add_argument('--dtype', type=str, default=None,
                         choices=[None, 'float32', 'float64', 'bfloat16'],
                         help='device compute dtype (default: auto)')
+    parser.add_argument('--profile_dir', type=str, default=None,
+                        help='write a JAX profiler trace (view with '
+                             'TensorBoard/XProf) for the estimation run')
     parser.add_argument('--config', type=str, help='configuration file path')
     return parser
 
@@ -171,6 +174,10 @@ def main(args):
 
     rhe = cls(**params)
 
+    if args.profile_dir:
+        import jax
+        jax.profiler.start_trace(args.profile_dir)
+
     results = {}
     runtime = 0.0
     for trait in range(rhe.num_traits):
@@ -178,6 +185,11 @@ def main(args):
         res_dict = rhe(trait=trait)
         runtime = time.time() - start
         results[f"Trait{trait}"] = {**res_dict, "runtime": runtime}
+
+    if args.profile_dir:
+        import jax
+        jax.profiler.stop_trace()
+        log._log(f"Profiler trace written to {args.profile_dir}")
 
     log._log("Runtime: ", runtime)
     log._save_log()

@@ -95,8 +95,13 @@ def _swar_doses(packed32):
 
 
 def _swar_plane(d, p, dtype, square=False):
-    """Extract plane p's dosage (or its square) from SWAR-packed fields."""
-    dp = (d >> (2 * p)) & 3
+    """Extract plane p's dosage (or its square) from SWAR-packed fields.
+    Plane 0 needs no shift; the TOP plane needs no mask (higher bits are
+    zero) — 10 int ops for all 4 planes instead of 12."""
+    nplanes = 4
+    dp = d if p == 0 else d >> (2 * p)
+    if p != nplanes - 1:
+        dp = dp & 3
     if square:
         dp = dp + (dp & 2)          # 0,1,2 -> 0,1,4
     return dp.astype(dtype)

@@ -187,3 +187,54 @@ def test_cli_multi_trait(small_dataset, tmp_path):
     assert "OUTPUT FOR TRAIT 0" in content
     assert "OUTPUT FOR TRAIT 1" in content
     assert content.count("Variance components:") == 2
+
+
+def test_cli_liability_binary_pheno(small_dataset, tmp_path):
+    """Binary phenotype + --samp_prev/--pop_prev prints liability-scale h2
+    (works here; the reference's call path is broken, rhe.py:84 — SURVEY
+    2.6)."""
+    from pyrhe_tpu.io import synth
+
+    bphen = str(tmp_path / "bin.pheno")
+    synth.simulate_pheno_file(str(tmp_path / "bin"), small_dataset["prefix"],
+                              [0.4], small_dataset["annot1"], seed=5,
+                              binary=True)
+    os.rename(str(tmp_path / "bin.pheno"), bphen)
+    out = str(tmp_path / "out.txt")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run_rhe.py"),
+         "-g", small_dataset["prefix"], "-p", bphen,
+         "-annot", small_dataset["annot1_path"], "-k", "4", "-jn", "4",
+         "-s", "7", "--samp_prev", "0.3", "--pop_prev", "0.1", "-o", out],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr
+    content = open(out).read()
+    assert "Liability Scale h2 for binary phenotype:" in content
+    m = re.search(r"Total Liability-scale h2 : ([-\d.e]+), SE: ([-\d.e]+), "
+                  r"p-value: ([-\d.e]+)", content)
+    assert m, content
+    assert np.isfinite(float(m.group(1)))
+
+
+def test_cli_samp_prev_without_pop_prev_errors(small_dataset, tmp_path):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run_rhe.py"),
+         "-g", small_dataset["prefix"], "-p", small_dataset["pheno_path"],
+         "--samp_prev", "0.3", "-o", str(tmp_path / "o.txt")],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode != 0
+    assert "Must set both or neither" in r.stderr
+
+
+def test_cli_benchmark_runtime(small_dataset, tmp_path):
+    cfg = str(tmp_path / "cfg.txt")
+    write_config(cfg, small_dataset, str(tmp_path), B=4, J=4, cov=False)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run_rhe.py"),
+         "--config", cfg, "--benchmark_runtime", "--suppress"],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr
+    assert re.search(r"runtime: [\d.]+ ± [\d.]+ seconds", r.stdout)
