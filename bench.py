@@ -51,7 +51,7 @@ def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32",
 
     if impl == "pallas":
         from pyrhe_tpu.ops.kernels import pad_to, plane_permutation
-        tm, tn = 512, 1024
+        tm, tn = 512, 2048
         n_pad = pad_to(N, tn)
         perm = plane_permutation(n_pad, tn)
         P_nat = np.zeros((n_pad, Bp), np.float32)

@@ -157,8 +157,10 @@ class Engine:
         else:
             self.use_pallas = bool(self.cfg.use_pallas) and packed_ok
         # Tile sweep on v5e-class chip (2026-08): tm=512/tn=1024 within ~5%
-        # of the best (512/4096) without forcing large N padding.
-        self._pl_tm, self._pl_tn = 512, 1024
+        # of the best (512/4096); wider tn only at large N where the
+        # padding it forces is negligible.
+        self._pl_tm = 512
+        self._pl_tn = 2048 if self.data.num_indv >= 65536 else 1024
         if self.use_pallas:
             from ..ops.kernels import pad_to, plane_permutation
             self.n_pad = pad_to(self.data.num_indv, self._pl_tn)
