@@ -28,6 +28,8 @@ def _load_dotenv() -> dict:
 
 _env = _load_dotenv()
 
-RESULT_DIR = _env.get("RESULT_DIR", os.environ.get("RESULT_DIR", "."))
-DATA_DIR = _env.get("DATA_DIR", os.environ.get("DATA_DIR", "."))
-HOME_DIR = _env.get("HOME_DIR", os.environ.get("HOME_DIR", "."))
+# Real environment variables win over .env values (python-dotenv's default
+# no-override precedence, which the reference's constant.py relies on).
+RESULT_DIR = os.environ.get("RESULT_DIR", _env.get("RESULT_DIR", "."))
+DATA_DIR = os.environ.get("DATA_DIR", _env.get("DATA_DIR", "."))
+HOME_DIR = os.environ.get("HOME_DIR", _env.get("HOME_DIR", "."))

@@ -115,6 +115,9 @@ class Engine:
                 {"float64": "exact", "float32": "split2",
                  "bfloat16": "bf16"}[cfg.dtype])
 
+        from ..utils.types import GenoImputeMethod
+        GenoImputeMethod(cfg.geno_impute_method)  # raises on unknown value
+
         self._dev = self._pick_device(cfg.device)
         self._setup_pallas()
         # Auto-streaming: the non-streaming cache holds J blocks of
@@ -123,7 +126,7 @@ class Engine:
         cache_bytes = (cfg.num_jack * self.E_geno
                        * (data.num_indv * 4) * self.b2)
         if (not cfg.streaming and self._dev.platform != "cpu"
-                and cache_bytes > 8e9):
+                and cache_bytes > self._hbm_budget()):
             self.log._log(
                 f"Note: per-block stats cache (~{cache_bytes / 1e9:.1f} GB)"
                 " exceeds the device memory budget; using streaming"
@@ -132,11 +135,27 @@ class Engine:
         self._build_static_arrays()
         self._cache: dict[int, tuple] = {}
         self._chunk_cache: list = []
+        self._scan_fns: dict[bool, object] = {}
         self._tot = None
         self.M_mat = self._build_M_matrix()
         self.trace_sums = None
 
     # ------------------------------------------------------------------ setup
+    def _hbm_budget(self) -> float:
+        """Bytes the per-block stats cache may occupy: half the device's
+        reported HBM (leaving the other half for totals, staged chunks and
+        working buffers), with a conservative fallback when the runtime
+        doesn't report memory (e.g. tunneled backends)."""
+        try:
+            stats = self._dev.memory_stats() or {}
+            limit = stats.get("bytes_limit") or stats.get(
+                "bytes_reservable_limit")
+            if limit:
+                return 0.5 * float(limit)
+        except Exception:
+            pass
+        return 8e9
+
     def _pick_device(self, device: str):
         if device == "auto":
             return jax.devices()[0]
@@ -400,7 +419,12 @@ class Engine:
         blocks, accumulating totals in-graph (the carried totals avoid an
         eager per-chunk add — every eager op costs a compile+dispatch
         round-trip on a tunneled backend) and stacking per-block stats
-        when keep_blocks (non-streaming)."""
+        when keep_blocks (non-streaming). Memoized on keep_blocks so the
+        streaming assemble pass reuses the precompute pass's jit closure
+        (and its compilation cache entries)."""
+        cached = self._scan_fns.get(keep_blocks)
+        if cached is not None:
+            return cached
         from ..ops.moments import block_stats_pallas_core
 
         on_cpu = self._dev.platform == "cpu"
@@ -426,6 +450,7 @@ class Engine:
                                      (packed_s, fill_s, annot_s))
             return carry, ys
 
+        self._scan_fns[keep_blocks] = run
         return run
 
     def _iter_chunks(self, chunk: int):
@@ -556,31 +581,34 @@ class Engine:
         return tot_XXP, tot_y, nxe_XXP, nxe_y, kw
 
     def _assemble_chunked(self):
-        from .normal_eq import assemble_Tq_all, assemble_Tq_chunk
+        """One assemble_Tq_chunk dispatch per precompute chunk. The cached
+        chunks are consumed (popped) as they are assembled so peak HBM
+        stays at one cache copy plus working buffers — never a second
+        concatenated copy of the whole stats cache."""
+        from .normal_eq import assemble_Tq_chunk
 
         tot_XXP, tot_y, nxe_XXP, nxe_y, kw = self._assemble_args()
-        if not self.cfg.streaming:
-            # whole pass 2 in one dispatch over the cached chunks
-            T, q = assemble_Tq_all(
-                tot_XXP, tot_y,
-                tuple(c[2] for c in self._chunk_cache),
-                tuple(c[3] for c in self._chunk_cache),
-                jnp.asarray(self.M_mat), nxe_XXP, nxe_y,
-                self.Zd, self.Uzbd, self.Cd, self.Qd,
-                self.q_last, self.stoch_mask, **kw)
-            self.T_all = np.asarray(T, dtype=np.float64)
-            self.q_all = np.asarray(q, dtype=np.float64)
-            return
-        # streaming: one dispatch per recomputed chunk, O(chunk) memory
         Ts, qs = [], []
-        for j0, C, Xs, Ys, _, _ in self._chunked_stats_stream(True):
-            T, q = assemble_Tq_chunk(
-                tot_XXP, tot_y, Xs, Ys,
-                jnp.asarray(self.M_mat[j0:j0 + C]), nxe_XXP, nxe_y,
-                self.Zd, self.Uzbd, self.Cd, self.Qd,
-                self.q_last, self.stoch_mask, **kw)
-            Ts.append(T)
-            qs.append(q)
+        if not self.cfg.streaming:
+            while self._chunk_cache:
+                j0, C, Xs, Ys = self._chunk_cache.pop(0)
+                T, q = assemble_Tq_chunk(
+                    tot_XXP, tot_y, Xs, Ys,
+                    jnp.asarray(self.M_mat[j0:j0 + C]), nxe_XXP, nxe_y,
+                    self.Zd, self.Uzbd, self.Cd, self.Qd,
+                    self.q_last, self.stoch_mask, **kw)
+                Ts.append(T)
+                qs.append(q)
+        else:
+            # streaming: one dispatch per recomputed chunk, O(chunk) memory
+            for j0, C, Xs, Ys, _, _ in self._chunked_stats_stream(True):
+                T, q = assemble_Tq_chunk(
+                    tot_XXP, tot_y, Xs, Ys,
+                    jnp.asarray(self.M_mat[j0:j0 + C]), nxe_XXP, nxe_y,
+                    self.Zd, self.Uzbd, self.Cd, self.Qd,
+                    self.q_last, self.stoch_mask, **kw)
+                Ts.append(T)
+                qs.append(q)
         # sample J = full data: a zero block (total - 0)
         T, q = assemble_Tq_chunk(
             tot_XXP, tot_y, jnp.zeros((1,) + tot_XXP.shape, self.dtype),

@@ -151,28 +151,3 @@ assemble_Tq_chunk = partial(
 )(assemble_Tq_chunk_core)
 
 
-def assemble_Tq_all_core(
-    tot_XXP, tot_y,
-    chunks_X,     # tuple of (C_i, E_geno, N, b2) precompute chunks
-    chunks_y,     # tuple of (C_i, E_geno, T)
-    M_rows,       # (J+1, E) — LAST row is the full-data sample
-    nxe_XXP, nxe_y, Z, Uzb, C, Q, q_last, stoch_mask,
-    *,
-    num_random_vec: int,
-    n_indiv: int,
-    n_cov: int,
-):
-    """Whole pass 2 in ONE dispatch: concatenates the precompute chunks
-    (plus a zero block = the full-data sample) in-graph and scans
-    assemble_Tq_core over all J+1 samples."""
-    blocks_X = jnp.concatenate(list(chunks_X) + [tot_XXP[None] * 0], axis=0)
-    blocks_y = jnp.concatenate(list(chunks_y) + [tot_y[None] * 0], axis=0)
-    return assemble_Tq_chunk_core(
-        tot_XXP, tot_y, blocks_X, blocks_y, M_rows, nxe_XXP, nxe_y,
-        Z, Uzb, C, Q, q_last, stoch_mask,
-        num_random_vec=num_random_vec, n_indiv=n_indiv, n_cov=n_cov)
-
-
-assemble_Tq_all = partial(
-    jax.jit, static_argnames=("num_random_vec", "n_indiv", "n_cov"),
-)(assemble_Tq_all_core)

@@ -206,7 +206,13 @@ def clean_packed(packed: np.ndarray, fill: np.ndarray,
     Returns the cleaned array (== `out` when given)."""
     packed = np.ascontiguousarray(packed, dtype=np.uint8)
     m, bps = packed.shape
-    fill_code = _DOSE2CODE[np.asarray(fill, np.int64)]
+    fill_arr = np.asarray(fill)
+    # the whole clean=True SWAR-decode path assumes integral fills in
+    # {0,1,2}; a non-integral impute mode must never silently truncate here
+    if not np.array_equal(fill_arr, np.rint(fill_arr)):
+        raise ValueError("clean_packed requires integral fill dosages "
+                         "(got non-integral imputation values)")
+    fill_code = _DOSE2CODE[fill_arr.astype(np.int64)]
     if out is None:
         out = np.empty_like(packed)
     assert out.shape[1] >= bps and out.shape[0] >= m and out.dtype == np.uint8

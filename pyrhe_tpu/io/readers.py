@@ -117,6 +117,9 @@ def read_cov(
     """
     import os
 
+    from ..utils.types import CovImputeMethod
+    CovImputeMethod(cov_impute_method)  # raises on unknown value
+
     df = pd.read_csv(filename, sep=r"\s+")
     missing_indvs = list(missing_indvs) if missing_indvs else []
     if missing_indvs:

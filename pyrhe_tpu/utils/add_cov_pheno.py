@@ -29,7 +29,7 @@ def add_cov_effect(pheno_path: str, cov_path: str, effect: float = 1.0,
         first = f.readline().split()
         has_header = not _is_float(first[-1])
     rows = np.loadtxt(pheno_path, skiprows=1 if has_header else 0,
-                      dtype=str)
+                      dtype=str, ndmin=2)
     if has_header:
         with open(pheno_path) as f:
             header = f.readline().rstrip("\n")

@@ -32,7 +32,8 @@ def main():
     ap.add_argument("-annot", "--annotation", default=None)
     ap.add_argument("--pheno_glob", required=True)
     ap.add_argument("-c", "--covariate", default=None)
-    ap.add_argument("-o", "--output_dir", default="sweep_out")
+    ap.add_argument("-o", "--output_dir", default=None,
+                    help="defaults to $RESULT_DIR/sweep_out (constant.py)")
     ap.add_argument("-k", "--num_vec", type=int, default=10)
     ap.add_argument("-jn", "--num_block", type=int, default=100)
     ap.add_argument("--streaming", action="store_true")
@@ -40,7 +41,10 @@ def main():
     args = ap.parse_args()
 
     from pyrhe_tpu import RHE, StreamingRHE
+    from pyrhe_tpu.constant import RESULT_DIR
 
+    if args.output_dir is None:
+        args.output_dir = os.path.join(RESULT_DIR, "sweep_out")
     os.makedirs(args.output_dir, exist_ok=True)
     summary = {}
     files = sorted(glob.glob(args.pheno_glob))

@@ -126,7 +126,7 @@ class Oracle:
             if self.use_cov:
                 XXUz[k, j] = (Xs @ (Xs.T @ self.Uzb)).T
             v = Xs.T @ ytil
-            yXXy[k, j] = float(v.T @ v)
+            yXXy[k, j] = (v.T @ v).item()
 
         for j in range(J):
             s, e = self.block_range(j)
@@ -200,7 +200,7 @@ class Oracle:
             T[k, E] = T[E, k] = btr
             q[k] = self.yXXy[k, j] / Mk if Mk != 0 else 0
         T[E, E] = N - (self.cov.shape[1] if self.use_cov else 0)
-        q[E] = float(self.ytil.T @ self.ytil)
+        q[E] = (self.ytil.T @ self.ytil).item()
         return T, q
 
     def estimate(self, trait=0, method="QR"):
@@ -233,6 +233,39 @@ class Oracle:
         tot = sig[:, :-1].sum(axis=1, keepdims=True)
         den = tot + sig[:, -1:]
         return np.concatenate([sig[:, :-1] / den, tot / den], axis=1)
+
+    def annot_subsample(self, jack_index):
+        """Leave-one-out annot rows (reference base.py:382-393): for
+        jack_index == J the masked range runs past the end of the genome,
+        so the 'total' sample drops the last (step + remainder) SNPs —
+        quirk included deliberately."""
+        step = self.M_snp // self.J
+        rem = self.M_snp % self.J
+        chunk = step if jack_index < self.J - 1 else step + rem
+        start = jack_index * step
+        mask = np.ones(self.M_snp, dtype=bool)
+        mask[start:start + chunk] = False
+        return self.annot[mask]
+
+    def h2_overlap(self, sig_jack, sig_tot):
+        """Overlapping-annotation h2 via the reference's literal per-SNP
+        membership walk (reference base.py:744-785): for every SNP in bin
+        k, sum sigma[b]/M[b] over ALL bins b the SNP belongs to."""
+        sig = np.vstack([sig_jack, sig_tot[None, :]])
+        h2 = np.zeros((self.J + 1, self.E + 1))
+        for j in range(self.J + 1):
+            total = sig[j, :self.E].sum()
+            denom = total + sig[j, -1]
+            sub = self.annot_subsample(j)
+            for k in range(self.E):
+                acc = 0.0
+                for snp_idx in np.where(sub[:, k] == 1)[0]:
+                    for b in np.where(sub[snp_idx, :] == 1)[0]:
+                        if self.Mmat[j, b] != 0:
+                            acc += sig[j, b] / self.Mmat[j, b]
+                h2[j, k] = acc / denom
+            h2[j, self.E] = total / denom
+        return h2
 
     def enrichment(self, h2):
         E = self.E

@@ -124,6 +124,57 @@ def test_float32_close_to_float64(small_dataset):
     np.testing.assert_allclose(st32, st64, rtol=2e-3, atol=2e-4)
 
 
+def test_rhe_overlapping_annot(small_dataset, tmp_path):
+    """Multi-membership annotations end-to-end: engine estimates AND the
+    overlapping-annotation h2 (solver.h2_overlapping's vectorized LOO
+    overlap-count algebra, including the j==J remainder quirk) against
+    the oracle's literal per-SNP membership walk (reference
+    base.py:744-785)."""
+    from pyrhe_tpu.io import synth
+
+    annot_path = str(tmp_path / "overlap.annot")
+    annot = synth.make_annot(annot_path, M, 4, seed=9, overlap=True)
+    assert (annot.sum(axis=1) > 1).any()       # fixture really overlaps
+    ds = dict(small_dataset, annot8_path=annot_path)
+    data, eng = run_engine(ds, annot_key="annot8_path", cov=True)
+    orc = make_oracle(ds, data, annot=annot)
+    sj_o, st_o = orc.estimate()
+    sj_e, st_e = eng.estimate(0)
+    np.testing.assert_allclose(eng.M_mat, orc.Mmat)
+    np.testing.assert_allclose(st_e, st_o, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(sj_e, sj_o, rtol=1e-6, atol=1e-8)
+
+    h2_e = S.h2_overlapping(np.vstack([sj_e, st_e[None]]), data.annot,
+                            eng.M_mat, eng.J)
+    h2_o = orc.h2_overlap(sj_o, st_o)
+    np.testing.assert_allclose(h2_e, h2_o, rtol=1e-7, atol=1e-10)
+
+
+def test_h2_overlap_remainder_quirk(small_dataset):
+    """J that does not divide M exercises the j==J annot-subsample quirk
+    (the 'total' sample drops the last step+remainder SNPs)."""
+    from pyrhe_tpu.io import synth
+
+    rng = np.random.default_rng(0)
+    annot = np.zeros((M, 3), dtype=np.int64)
+    annot[np.arange(M), rng.integers(0, 3, M)] = 1
+    annot[rng.random(M) < 0.3, 0] = 1          # heavy overlap into bin 0
+    J = 7                                      # 800 % 7 = 2 remainder SNPs
+    sig = rng.normal(size=(J + 1, 4)) ** 2
+    M_mat = np.zeros((J + 1, 3), dtype=np.int64)
+    step = M // J
+    M_mat[J] = annot.sum(axis=0)
+    for j in range(J):
+        s, e = j * step, ((j + 1) * step if j < J - 1 else M)
+        M_mat[j] = M_mat[J] - annot[s:e].sum(axis=0)
+
+    orc = object.__new__(Oracle)               # skip __init__: no genotype
+    orc.J, orc.E, orc.M_snp, orc.annot, orc.Mmat = J, 3, M, annot, M_mat
+    h2_o = orc.h2_overlap(sig[:-1], sig[-1])
+    h2_e = S.h2_overlapping(sig, annot, M_mat, J)
+    np.testing.assert_allclose(h2_e, h2_o, rtol=1e-10, atol=1e-12)
+
+
 def test_genie_multi_env(small_dataset, tmp_path):
     """num_env > 1 with the CORRECTED GxE estimate indexing
     (k_gxe = num_bin + e*num_bin + k; the reference's collides for
