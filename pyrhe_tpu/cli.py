@@ -202,6 +202,9 @@ def cli_entry(argv=None):
         dist.initialize()
     parser = build_parser()
     args = parser.parse_args(argv)
+    import jax
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        args.suppress = True        # one console report per pod, rank 0
     if args.config:
         config_args = parse_config(args.config, 'PyRHE_Config')
         for key, default in vars(args).items():

@@ -157,13 +157,15 @@ class Engine:
         return 8e9
 
     def _pick_device(self, device: str):
+        # local_devices: under multi-process (jax.distributed) execution
+        # this process may only device_put to its own addressable devices
         if device == "auto":
-            return jax.devices()[0]
-        for d in jax.devices():
+            return jax.local_devices()[0]
+        for d in jax.local_devices():
             if d.platform.startswith(device):
                 return d
         self.log._debug(f"device {device} not available, using default")
-        return jax.devices()[0]
+        return jax.local_devices()[0]
 
     def _setup_pallas(self):
         """Resolve whether blocks go through the fused Pallas kernels.
@@ -655,81 +657,16 @@ class Engine:
 
     # ------------------------------------------------------------- sharded
     def run_sharded(self, mesh=None):
-        """Full-batch multi-device pass: all blocks stacked (padded to
-        uniform m), sharded over the mesh 'jack' axis; one psum merges
-        totals. Use when the packed genotype fits in aggregate HBM."""
-        from ..parallel.mesh import make_mesh, make_sharded_step, shard_blocks
+        """Multi-device / multi-host execution: jackknife blocks sharded
+        over the mesh 'jack' axis, per-process host IO, chunked scans with
+        the Pallas kernels on the hot path, any J (padded), streaming or
+        cached pass 2 (pyrhe_tpu.parallel.sharded.ShardedRunner)."""
+        from ..parallel.mesh import make_mesh
+        from ..parallel.sharded import ShardedRunner
 
         mesh = mesh or make_mesh()
-        D = mesh.devices.size
-        if self.J % D != 0:
-            raise ValueError(f"num_jack={self.J} not divisible by mesh "
-                             f"size {D}")
-        d = self.data
-        # last block absorbs the remainder (base.py:362-379), so pad to its size
-        m_pad = d.num_snp - (self.J - 1) * (d.num_snp // self.J)
-        # Packed (2-bit) blocks whenever there's no individual filtering:
-        # integral imputation fills are rewritten into the bytes
-        # (clean_packed), so both impute modes ship 4x fewer bytes per chip
-        use_packed = d.bed.keep_idx is None
-        W = d.bed.bytes_per_snp if use_packed else d.num_indv
-        np_dt = np.float64 if self.dtype == jnp.float64 else np.float32
-
-        genos = np.zeros((self.J, m_pad, W), dtype=np.uint8)
-        fills = np.zeros((self.J, m_pad), dtype=np_dt)
-        annots = np.zeros((self.J, m_pad, self.K), dtype=np_dt)
-        for j in range(self.J):
-            s, e = self._block_range(j)
-            if use_packed:
-                from ..io.bed import clean_packed
-                bed = d.bed
-                packed = bed.read_packed_block(s, e)
-                if self.cfg.geno_impute_method == "binary":
-                    sums, nmiss = bed.packed_col_stats(packed)
-                    fill = self._fill_from_stats(sums, nmiss, d.num_indv,
-                                                 e - s)
-                else:
-                    fill = np.zeros(e - s)
-                clean_packed(packed, fill, out=genos[j, :e - s])
-            else:
-                geno, fill, _ = self._load_block(j, raw=True)
-                genos[j, :e - s] = geno
-                fills[j, :e - s] = fill
-            annots[j, :e - s] = d.annot[s:e]
-
-        step = make_sharded_step(
-            mesh, n_indiv=d.num_indv, components=self.spec.components,
-            b2=self.b2, num_random_vec=self.B, packed=use_packed,
-            n_cov=d.cov.shape[1] if self.use_cov else 0,
-            num_nxe=self.num_nxe, dtype=self.dtype,
-            mm_mode=self.mm_mode)
-
-        geno_s, fill_s, annot_s, Mloo_s = shard_blocks(
-            mesh, (genos, fills, annots, self.M_mat[:self.J]))
-        zeros = lambda *s: jnp.zeros(s, self.dtype)
-        T_traits = max(self.T_traits, 0)
-        nxe_XXP = (self.nxe_XXP if self.num_nxe
-                   else zeros(0, d.num_indv, self.b2))
-        nxe_y = self.nxe_yXXy if self.num_nxe else zeros(0, T_traits)
-        from jax.sharding import NamedSharding, PartitionSpec
-        repl = NamedSharding(mesh, PartitionSpec())
-        rput = lambda x: jax.device_put(x, repl)
-        T_loc, q_loc, T_tot, q_tot = step(
-            geno_s, fill_s, annot_s, Mloo_s,
-            rput(jnp.asarray(self.M_mat[self.J])),
-            rput(self.P),
-            rput(self.envd if d.num_env else zeros(d.num_indv, 1)),
-            rput(self.Zd), rput(self.Uzbd),
-            rput(self.Cd if self.use_cov else zeros(d.num_indv, 1)),
-            rput(self.Qd if self.use_cov else zeros(1, 1)),
-            rput(self.q_last), rput(self.stoch_mask), rput(nxe_XXP),
-            rput(nxe_y))
-        self.T_all = np.concatenate(
-            [np.asarray(T_loc, np.float64),
-             np.asarray(T_tot, np.float64)[None]], axis=0)
-        self.q_all = np.concatenate(
-            [np.asarray(q_loc, np.float64),
-             np.asarray(q_tot, np.float64)[None]], axis=0)
+        runner = ShardedRunner(self, mesh)
+        self.T_all, self.q_all = runner.run()
         if self.cfg.get_trace:
             self.trace_sums = self._compute_trace_sums()
         return self.T_all, self.q_all

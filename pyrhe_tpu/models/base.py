@@ -145,17 +145,19 @@ class BaseModel:
             self._computed = True
 
     def _want_sharded(self) -> bool:
-        """Use the mesh-sharded full-batch path when requested via
-        PYRHE_TPU_DISTRIBUTED=1 (scripts/tpu_pod_run.sh) and the jackknife
-        axis divides the device count."""
+        """Use the mesh-sharded path when requested via
+        PYRHE_TPU_DISTRIBUTED=1 (scripts/tpu_pod_run.sh), or automatically
+        under multi-process (jax.distributed) execution. Any num_jack
+        works — the jack axis is padded to the mesh size."""
+        import jax
+        if jax.process_count() > 1:
+            return True
         if os.environ.get("PYRHE_TPU_DISTRIBUTED") != "1":
             return False
-        import jax
-        n_dev = len(jax.devices())
-        if n_dev <= 1 or self.cfg.num_jack % n_dev != 0:
-            self.log._debug(
-                f"PYRHE_TPU_DISTRIBUTED set but num_jack={self.cfg.num_jack}"
-                f" not divisible by {n_dev} devices; running sequentially")
+        if len(jax.devices()) <= 1:
+            self.log._log(
+                "Note: PYRHE_TPU_DISTRIBUTED set but only one device is "
+                "visible; running the sequential engine")
             return False
         return True
 

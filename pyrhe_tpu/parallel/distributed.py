@@ -1,66 +1,55 @@
-"""Multi-host execution scaffolding.
+"""Multi-host bootstrap.
 
 Single-controller JAX spans hosts once `jax.distributed.initialize` has
-run on every process; the estimation step itself (parallel/mesh.py) is
-host-count agnostic — blocks shard over the global "jack" axis and the
-totals psum rides ICI within a slice / DCN across hosts.
+run on every process; the sharded estimation step itself
+(pyrhe_tpu.parallel.sharded.ShardedRunner) is host-count agnostic —
+jackknife blocks shard over the global "jack" axis, every process stages
+only the .bed byte ranges its own devices own
+(ShardedRunner.owned_rows -> jax.make_array_from_process_local_data), and
+the totals reduction rides ICI within a slice / DCN across hosts.
 
-Pattern (run the same program on every host):
+Pattern (run the same program on every host — scripts/tpu_pod_run.sh):
 
     import pyrhe_tpu.parallel.distributed as dist
-    dist.initialize()                       # env-driven (coordinator etc.)
-    mesh = dist.global_mesh()
-    data = load_dataset(prefix, ...)        # readers are cheap; every host
-                                            # reads the small tabular files
+    dist.initialize()                  # env/metadata-driven on TPU pods
+    data = load_dataset(prefix, ...)   # every host reads the small
+                                       # tabular files; .bed stays lazy
     eng = Engine(data, spec, cfg)
-    eng.run_sharded(mesh)                   # host j loads only the .bed
-                                            # byte ranges of blocks it owns
+    eng.run_sharded(dist.global_mesh())
 
-Host-local .bed IO: `local_block_indices(mesh, J)` gives the block ids
-this process owns; `make_global_blocks(...)` assembles the global stacked
-array from process-local shards with
-`jax.make_array_from_process_local_data`, so no host ever touches another
-host's genotype bytes.
+Validated by tests/test_multihost.py: 2 CPU processes under
+jax.distributed + gloo reproduce the sequential engine bit-for-bit.
 """
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 
 def initialize(**kwargs) -> None:
-    """jax.distributed.initialize passthrough (env-driven on TPU pods)."""
-    if jax.process_count() == 1 and not kwargs:
-        try:
-            jax.distributed.initialize()
-        except Exception:
-            pass  # single-process / already initialized
-    elif kwargs:
+    """jax.distributed.initialize passthrough. On TPU pods the
+    coordinator/process-id resolve from the TPU metadata; elsewhere set
+    COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID or pass kwargs."""
+    if kwargs:
         jax.distributed.initialize(**kwargs)
+        return
+    env = {k: os.environ[v] for k, v in
+           (("coordinator_address", "COORDINATOR_ADDRESS"),
+            ("num_processes", "NUM_PROCESSES"),
+            ("process_id", "PROCESS_ID")) if v in os.environ}
+    if "num_processes" in env:
+        env["num_processes"] = int(env["num_processes"])
+    if "process_id" in env:
+        env["process_id"] = int(env["process_id"])
+    try:
+        jax.distributed.initialize(**env)
+    except Exception:
+        pass  # single-process / already initialized
 
 
 def global_mesh(axis: str = "jack") -> Mesh:
     return Mesh(np.array(jax.devices()), (axis,))
-
-
-def local_block_indices(mesh: Mesh, num_jack: int) -> list[int]:
-    """Jackknife block ids owned by this process under a block-sharded
-    (J,)-leading layout."""
-    devs = list(mesh.devices.flat)
-    per_dev = num_jack // len(devs)
-    out = []
-    for i, d in enumerate(devs):
-        if d.process_index == jax.process_index():
-            out.extend(range(i * per_dev, (i + 1) * per_dev))
-    return out
-
-
-def make_global_blocks(mesh: Mesh, local_arrays: np.ndarray,
-                       global_shape: tuple, axis: str = "jack"):
-    """Assemble a (J, ...) global array from this process's local block
-    slab (concatenated along axis 0 in local_block_indices order)."""
-    sharding = NamedSharding(mesh, P(axis))
-    return jax.make_array_from_process_local_data(
-        sharding, local_arrays, global_shape)

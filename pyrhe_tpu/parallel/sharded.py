@@ -1,0 +1,416 @@
+"""Unified multi-device / multi-host execution of the RHE two-pass
+pipeline: jackknife blocks sharded over a 1-D "jack" mesh axis, streamed
+through the device in chunks, with the fused Pallas kernels on the hot
+path and any jackknife count J.
+
+This is the TPU-native replacement for the reference's only parallelism —
+jackknife blocks fanned out to processes over POSIX shared memory
+(reference base.py:432-437,530-544, mp_handler.py:27-37, and the
+streaming worker loop base_streaming.py:85-144) — at pod scale:
+
+  ownership   J is padded to J_pad = D * J_loc with zero blocks (they
+              standardize to zero columns and contribute nothing); device
+              d owns the contiguous slot range [d*J_loc, (d+1)*J_loc).
+  pass 1      S supersteps; in superstep s every device runs a jitted
+              lax.scan over C of its blocks (fused decode+matmul stats),
+              accumulating a device-local partial total. Each process
+              stages ONLY its own devices' .bed byte ranges
+              (jax.make_array_from_process_local_data), one superstep
+              ahead of the device on a background thread.
+  merge       one cross-device reduction of the (E, N, b2) partial totals
+              (psum over ICI within a slice / DCN across hosts).
+  pass 2      per superstep, the leave-one-out normal equations for the
+              owned blocks assemble on the owning device
+              (assemble_Tq_chunk_core under shard_map). Streaming mode
+              re-stages and recomputes each chunk's stats inside the same
+              dispatch instead of caching pass 1's — per-device memory is
+              O(C) blocks, independent of J (the reference's two-pass
+              StreamingBase design, with the disk re-read overlapped).
+  replicate   the (J+1) tiny T/q systems are all-gathered and the solves
+              run replicated on every host.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.normal_eq import assemble_Tq_chunk_core
+
+
+def owned_rows(sharding: NamedSharding, global_rows: int) -> list[int]:
+    """Global row indices this PROCESS owns under a leading-axis sharding,
+    in the order make_array_from_process_local_data expects the local
+    slab to be laid out (ascending global offset)."""
+    idx_map = sharding.addressable_devices_indices_map((global_rows,))
+    spans = sorted((sl[0].start or 0, sl[0].stop or global_rows)
+                   for sl in idx_map.values())
+    out: list[int] = []
+    for start, stop in spans:
+        out.extend(range(start, stop))
+    return out
+
+
+@dataclass
+class _Plan:
+    D: int          # devices on the jack axis
+    C: int          # blocks per device per superstep
+    S: int          # supersteps
+    J_loc: int      # S * C slots per device
+    J_pad: int      # D * J_loc total slots (>= J)
+    m_pad: int      # uniform padded SNP rows per block
+    W: int          # staged byte/dosage width per SNP row
+
+
+class ShardedRunner:
+    """Drives an Engine's precompute+assemble over a device mesh.
+
+    Every process must construct the same Engine (same files, same config)
+    and call run(); single-process multi-device and multi-process
+    (jax.distributed) execution take the same path.
+    """
+
+    def __init__(self, engine, mesh: Mesh, axis: str = "jack"):
+        self.eng = engine
+        self.mesh = mesh
+        self.axis = axis
+        self.sh_block = NamedSharding(mesh, P(axis))
+        self.sh_repl = NamedSharding(mesh, P())
+        self.plan = self._make_plan()
+
+    # ------------------------------------------------------------- planning
+    def _make_plan(self) -> _Plan:
+        eng = self.eng
+        D = int(self.mesh.devices.size)
+        d = eng.data
+        step = d.num_snp // eng.J
+        max_m = step + (d.num_snp - step * eng.J)   # last block + remainder
+        if eng.use_pallas:
+            from ..ops.kernels import pad_to
+            m_pad = pad_to(max_m, eng._pl_tm)
+            W = eng.n_pad // 4          # byte columns padded to tn lanes
+        else:
+            m_pad = max_m
+            W = (d.bed.bytes_per_snp if d.bed.keep_idx is None
+                 else d.num_indv)
+        per_dev = -(-eng.J // D)                     # ceil(J / D)
+        # staging budget per superstep per device: ~256 MB of packed bytes
+        C = int(max(1, min(per_dev, 256e6 // max(m_pad * W, 1))))
+        S = -(-per_dev // C)                         # ceil(per_dev / C)
+        J_loc = S * C
+        return _Plan(D=D, C=C, S=S, J_loc=J_loc, J_pad=D * J_loc,
+                     m_pad=m_pad, W=W)
+
+    # -------------------------------------------------------------- staging
+    def _stage_block(self, slot: int, np_dt):
+        """Host-side staging of one slot: (geno (m_pad, W) u8, fill
+        (m_pad,) f32, annot (m_pad, K)). Padding slots (slot >= J) are all
+        zeros — they decode to zero dosage, zero variance, zero stats."""
+        eng = self.eng
+        pl = self.plan
+        geno = np.zeros((pl.m_pad, pl.W), np.uint8)
+        fill = np.zeros(pl.m_pad, np.float32)
+        annot = np.zeros((pl.m_pad, eng.K), np_dt)
+        if slot >= eng.J:
+            return geno, fill, annot
+        s, e = eng._block_range(slot)
+        m = e - s
+        d = eng.data
+        annot[:m] = d.annot[s:e].astype(np_dt)
+        if d.bed.keep_idx is None:
+            from ..io.bed import clean_packed
+            packed = d.bed.read_packed_block(s, e)
+            if eng.cfg.geno_impute_method == "binary":
+                sums, nmiss = d.bed.packed_col_stats(packed)
+                f = eng._fill_from_stats(sums, nmiss, d.num_indv, m)
+            else:
+                f = np.zeros(m)
+            # integral fills are rewritten into the packed bytes so the
+            # device decode has no missing branch (SWAR path)
+            clean_packed(packed, f, out=geno)
+        else:
+            g = d.bed.read_block(s, e)
+            if eng.cfg.geno_impute_method == "binary":
+                sums, nmiss = d.bed.col_stats(g)
+                fill[:m] = eng._fill_from_stats(sums, nmiss, g.shape[1], m)
+            geno[:m, :g.shape[1]] = g
+        return geno, fill, annot
+
+    def _row_slot(self, s: int, r: int) -> int:
+        """Global slot for row r of superstep s's (D*C)-row chunk."""
+        dev, t = divmod(r, self.plan.C)
+        return dev * self.plan.J_loc + s * self.plan.C + t
+
+    def _stage_superstep(self, s: int, np_dt):
+        """Assemble THIS PROCESS's slab for superstep s and build the
+        global sharded chunk arrays (D*C leading rows)."""
+        pl = self.plan
+        genos, fills, annots = [], [], []
+        for r in owned_rows(self.sh_block, pl.D * pl.C):
+            g, f, a = self._stage_block(self._row_slot(s, r), np_dt)
+            genos.append(g)
+            fills.append(f)
+            annots.append(a)
+        mk = partial(jax.make_array_from_process_local_data, self.sh_block)
+        gshape = (pl.D * pl.C,)
+        return (mk(np.stack(genos), gshape + genos[0].shape),
+                mk(np.stack(fills), gshape + fills[0].shape),
+                mk(np.stack(annots), gshape + annots[0].shape))
+
+    def _superstep_M_rows(self, s: int):
+        """Sharded leave-one-out M rows for superstep s's slots (padding
+        slots get the full-genome row — their T/q output is dropped)."""
+        pl = self.plan
+        eng = self.eng
+        rows = owned_rows(self.sh_block, pl.D * pl.C)
+        out = np.zeros((len(rows), eng.E), np.int64)
+        for i, r in enumerate(rows):
+            slot = self._row_slot(s, r)
+            out[i] = eng.M_mat[min(slot, eng.J)]
+        return jax.make_array_from_process_local_data(
+            self.sh_block, out, (pl.D * pl.C, eng.E))
+
+    def _replicated(self, x, dtype=None):
+        arr = np.asarray(x)
+        if dtype is not None:
+            arr = arr.astype(dtype)
+        return jax.make_array_from_process_local_data(self.sh_repl, arr,
+                                                      arr.shape)
+
+    # ---------------------------------------------------------- step builds
+    def _stat_core(self):
+        """Uniform per-block stats fn(geno, fill, annot, P, env, mask)."""
+        eng = self.eng
+        if eng.use_pallas:
+            from ..ops.moments import block_stats_pallas_core
+            on_cpu = eng._dev.platform == "cpu"
+            kw = dict(n_indiv=eng.data.num_indv,
+                      components=eng.spec.components, b2=eng.b2,
+                      dtype=eng.dtype,
+                      kernel_dtype=(jnp.float32 if on_cpu else jnp.bfloat16),
+                      mm_split=(eng.mm_mode == "split2"), clean=True,
+                      interpret=on_cpu, tm=eng._pl_tm, tn=eng._pl_tn)
+
+            def core(g, f, a, P_mat, env, mask):
+                return block_stats_pallas_core(g, f, a, P_mat, env, mask,
+                                               **kw)
+        else:
+            from ..ops.moments import block_stats_core
+            kw = dict(n_indiv=eng.data.num_indv,
+                      components=eng.spec.components, b2=eng.b2,
+                      packed=(eng.data.bed.keep_idx is None),
+                      dtype=eng.dtype, mm_mode=eng.mm_mode)
+
+            def core(g, f, a, P_mat, env, mask):
+                return block_stats_core(g, f.astype(eng.dtype), a, P_mat,
+                                        env, **kw)
+        return core
+
+    def _scan_stats(self, core, chunk, P_mat, env, mask, totX, toty, keep):
+        def body(carry, xs):
+            g, f, a = xs
+            XXP, yXXy, _ = core(g, f, a, P_mat, env, mask)
+            out = (XXP, yXXy) if keep else 0
+            return (carry[0] + XXP, carry[1] + yXXy), out
+
+        return jax.lax.scan(body, (totX, toty), chunk)
+
+    def _build_steps(self, streaming: bool):
+        """Jitted global functions:
+
+        stats_step: pass 1 superstep — per-device scan, carried partial
+            totals (+ per-block stats cache when not streaming)
+        asm_step:   pass 2 superstep — leave-one-out + normal equations on
+            the owning device; streaming recomputes the chunk's stats
+            inside the dispatch from re-staged bytes
+        finalize:   partial-totals reduction -> replicated grand totals
+        """
+        eng = self.eng
+        core = self._stat_core()
+        asm_kw = dict(num_random_vec=eng.B, n_indiv=eng.data.num_indv,
+                      n_cov=eng.data.cov.shape[1] if eng.use_cov else 0)
+        use_cov = eng.use_cov
+        blk, repl = P(self.axis), P()
+        smap = partial(jax.shard_map, mesh=self.mesh, check_vma=False)
+
+        def stats_body(geno_c, fill_c, annot_c, totX, toty, P_mat, env,
+                       mask):
+            # per-device views: geno_c (C, m_pad, W); totX (1, E, N, b2)
+            (tX, ty), ys = self._scan_stats(core, (geno_c, fill_c, annot_c),
+                                            P_mat, env, mask, totX[0],
+                                            toty[0], keep=not streaming)
+            if streaming:
+                return tX[None], ty[None]
+            return tX[None], ty[None], ys
+
+        stats_step = jax.jit(smap(
+            stats_body,
+            in_specs=(blk, blk, blk, blk, blk, repl, repl, repl),
+            out_specs=(blk, blk) if streaming else (blk, blk, blk)),
+            donate_argnums=(3, 4))
+
+        def asm_tail(bX, by, M_rows, totX, toty, nxeX, nxey, Z, Uzb, C_mat,
+                     Q, q_last, stoch):
+            return assemble_Tq_chunk_core(
+                totX, toty, bX, by, M_rows, nxeX, nxey, Z, Uzb,
+                C_mat if use_cov else None, Q if use_cov else None,
+                q_last, stoch, **asm_kw)
+
+        if streaming:
+            def asm_body(geno_c, fill_c, annot_c, M_rows, totX, toty, nxeX,
+                         nxey, Z, Uzb, C_mat, Q, q_last, stoch, P_mat, env,
+                         mask):
+                _, (bX, by) = self._scan_stats(
+                    core, (geno_c, fill_c, annot_c), P_mat, env, mask,
+                    jnp.zeros_like(totX), jnp.zeros_like(toty), keep=True)
+                return asm_tail(bX, by, M_rows, totX, toty, nxeX, nxey, Z,
+                                Uzb, C_mat, Q, q_last, stoch)
+
+            asm_step = jax.jit(smap(
+                asm_body,
+                in_specs=(blk, blk, blk, blk) + (repl,) * 13,
+                out_specs=(blk, blk)))
+        else:
+            def asm_body(bX, by, M_rows, totX, toty, nxeX, nxey, Z, Uzb,
+                         C_mat, Q, q_last, stoch):
+                return asm_tail(bX, by, M_rows, totX, toty, nxeX, nxey, Z,
+                                Uzb, C_mat, Q, q_last, stoch)
+
+            asm_step = jax.jit(smap(
+                asm_body,
+                in_specs=(blk, blk, blk) + (repl,) * 10,
+                out_specs=(blk, blk)),
+                donate_argnums=(0, 1))
+
+        finalize = jax.jit(
+            lambda tX, ty: (tX.sum(0), ty.sum(0)),
+            out_shardings=(self.sh_repl, self.sh_repl))
+
+        full_sample = jax.jit(asm_tail)
+        return stats_step, asm_step, finalize, full_sample
+
+    # ------------------------------------------------------------------ run
+    def run(self):
+        """Execute both passes; returns (T_all, q_all) float64 host arrays
+        of shape (J+1, E+1, E+1) / (J+1, E+1, T) on every process."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        eng = self.eng
+        pl = self.plan
+        np_dt = np.float64 if eng.dtype == jnp.float64 else np.float32
+        streaming = bool(eng.cfg.streaming) or self._auto_streaming()
+        (stats_step, asm_step, finalize,
+         full_sample) = self._build_steps(streaming)
+
+        # replicated small arrays
+        P_mat = self._replicated(eng.P)
+        env = self._replicated(eng._env_arg())
+        mask = self._replicated(
+            eng.valid_mask if eng.use_pallas
+            else jnp.ones((eng.N_work,), eng.dtype))
+        Z, Uzb = self._replicated(eng.Zd), self._replicated(eng.Uzbd)
+        C_mat = self._replicated(
+            eng.Cd if eng.use_cov else jnp.zeros((eng.N_work, 1), eng.dtype))
+        Q = self._replicated(
+            eng.Qd if eng.use_cov else jnp.zeros((1, 1), eng.dtype))
+        q_last = self._replicated(eng.q_last)
+        stoch = self._replicated(eng.stoch_mask)
+        T_traits = max(eng.T_traits, 0)
+        nxeX = self._replicated(
+            eng.nxe_XXP if eng.num_nxe
+            else jnp.zeros((0, eng.N_work, eng.b2), eng.dtype))
+        nxey = self._replicated(
+            eng.nxe_yXXy if eng.num_nxe
+            else jnp.zeros((0, T_traits), eng.dtype))
+        small = (nxeX, nxey, Z, Uzb, C_mat, Q, q_last, stoch)
+
+        totX = jax.device_put(
+            jnp.zeros((pl.D, eng.E_geno, eng.N_work, eng.b2), eng.dtype),
+            self.sh_block)
+        toty = jax.device_put(
+            jnp.zeros((pl.D, eng.E_geno, T_traits), eng.dtype),
+            self.sh_block)
+
+        # ---- pass 1: supersteps, staging one step ahead -------------------
+        cache = []
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            nxt = ex.submit(self._stage_superstep, 0, np_dt)
+            for s in range(pl.S):
+                chunk = nxt.result()
+                if s + 1 < pl.S:
+                    nxt = ex.submit(self._stage_superstep, s + 1, np_dt)
+                out = stats_step(*chunk, totX, toty, P_mat, env, mask)
+                totX, toty = out[0], out[1]
+                if not streaming:
+                    cache.append(out[2])
+                del chunk
+                eng.log._debug(f"sharded superstep {s + 1}/{pl.S} done")
+        totX_r, toty_r = finalize(totX, toty)
+
+        # ---- pass 2: per-superstep leave-one-out assembly -----------------
+        Ts, qs = [], []
+        if streaming:
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                nxt = ex.submit(self._stage_superstep, 0, np_dt)
+                for s in range(pl.S):
+                    chunk = nxt.result()
+                    if s + 1 < pl.S:
+                        nxt = ex.submit(self._stage_superstep, s + 1, np_dt)
+                    T_c, q_c = asm_step(*chunk, self._superstep_M_rows(s),
+                                        totX_r, toty_r, *small, P_mat, env,
+                                        mask)
+                    Ts.append(T_c)
+                    qs.append(q_c)
+                    del chunk
+        else:
+            for s in range(pl.S):
+                bX, by = cache[s]
+                cache[s] = None
+                T_c, q_c = asm_step(bX, by, self._superstep_M_rows(s),
+                                    totX_r, toty_r, *small)
+                Ts.append(T_c)
+                qs.append(q_c)
+
+        # full-data sample: zero block against the totals
+        dummyX = self._replicated(
+            jnp.zeros((1, eng.E_geno, eng.N_work, eng.b2), eng.dtype))
+        dummyy = self._replicated(
+            jnp.zeros((1, eng.E_geno, T_traits), eng.dtype))
+        M_full = self._replicated(eng.M_mat[eng.J:].astype(np.int64))
+        T_full, q_full = full_sample(dummyX, dummyy, M_full, totX_r,
+                                     toty_r, *small)
+
+        # ---- gather: replicate the tiny T/q systems on every host --------
+        gather = jax.jit(lambda *xs: jnp.concatenate(xs),
+                         out_shardings=self.sh_repl)
+        T_pad = np.asarray(gather(*Ts), np.float64)
+        q_pad = np.asarray(gather(*qs), np.float64)
+        J = eng.J
+        T_all = np.zeros((J + 1,) + T_pad.shape[1:], np.float64)
+        q_all = np.zeros((J + 1,) + q_pad.shape[1:], np.float64)
+        for s in range(pl.S):
+            for r in range(pl.D * pl.C):
+                slot = self._row_slot(s, r)
+                if slot < J:
+                    T_all[slot] = T_pad[s * pl.D * pl.C + r]
+                    q_all[slot] = q_pad[s * pl.D * pl.C + r]
+        T_all[J] = np.asarray(T_full, np.float64)[0]
+        q_all[J] = np.asarray(q_full, np.float64)[0]
+        return T_all, q_all
+
+    def _auto_streaming(self) -> bool:
+        """Streaming when the per-DEVICE stats cache would not fit."""
+        eng = self.eng
+        pl = self.plan
+        cache_bytes = pl.J_loc * eng.E_geno * eng.N_work * eng.b2 * 4
+        if eng._dev.platform != "cpu" and cache_bytes > eng._hbm_budget():
+            eng.log._log(
+                f"Note: per-device stats cache (~{cache_bytes / 1e9:.1f} "
+                "GB) exceeds the device budget; sharded run uses "
+                "streaming (recompute) pass 2")
+            return True
+        return False

@@ -67,3 +67,80 @@ def test_sharded_uneven_last_block(small_dataset, tmp_path):
     eng_sh.run_sharded(make_mesh(2))
     np.testing.assert_allclose(eng_sh.T_all, eng_seq.T_all,
                                rtol=1e-10, atol=1e-10)
+
+
+@pytest.mark.parametrize("J,n_dev", [(10, 8), (7, 4), (3, 8)])
+def test_sharded_any_jack_count(small_dataset, J, n_dev):
+    """J need not divide the device count (the jack axis is padded with
+    zero blocks); J < D leaves whole devices idle but correct."""
+    mk = _engines(small_dataset, cov=True, J=J)
+    eng_seq = mk()
+    eng_seq.run_precompute_and_assemble()
+    eng_sh = mk()
+    eng_sh.run_sharded(make_mesh(n_dev))
+    np.testing.assert_allclose(eng_sh.T_all, eng_seq.T_all,
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(eng_sh.q_all, eng_seq.q_all,
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_sharded_streaming_matches_cached(small_dataset):
+    """Streaming (recompute) pass 2 under sharding is bit-identical to the
+    cached pass 2 and to the sequential engine."""
+    mk = _engines(small_dataset, cov=True, J=10)
+    eng_seq = mk()
+    eng_seq.run_precompute_and_assemble()
+    eng_c = mk()
+    eng_c.run_sharded(make_mesh(4))
+    eng_s = mk()
+    eng_s.cfg.streaming = True
+    eng_s.run_sharded(make_mesh(4))
+    np.testing.assert_allclose(eng_s.T_all, eng_c.T_all, rtol=0, atol=0)
+    np.testing.assert_allclose(eng_s.q_all, eng_c.q_all, rtol=0, atol=0)
+    np.testing.assert_allclose(eng_s.T_all, eng_seq.T_all,
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_sharded_genie_streaming(small_dataset):
+    mk = _engines(small_dataset, model="genie", genie_model="G+GxE+NxE",
+                  cov=True, env=True, J=10)
+    eng_seq = mk()
+    eng_seq.run_precompute_and_assemble()
+    eng_s = mk()
+    eng_s.cfg.streaming = True
+    eng_s.run_sharded(make_mesh(8))
+    np.testing.assert_allclose(eng_s.T_all, eng_seq.T_all,
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(eng_s.q_all, eng_seq.q_all,
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_sharded_pallas_interpret(small_dataset):
+    """The fused Pallas kernels under shard_map (interpret mode on CPU):
+    the sharded hot path a real TPU pod takes. float32 + split2 like the
+    TPU default; compared to the jnp sharded path at f32 tolerance."""
+    import jax.numpy as jnp
+
+    from pyrhe_tpu.core.data import load_dataset
+    from pyrhe_tpu.core.engine import Engine, ModelSpec, RunConfig
+
+    ds = small_dataset
+
+    def mk(use_pallas):
+        data = load_dataset(ds["prefix"], annot_file=ds["annot1_path"],
+                            pheno_file=ds["pheno_path"],
+                            num_random_vec=4, seed=7)
+        cfg = RunConfig(num_random_vec=4, num_jack=4, seed=7,
+                        geno_impute_method="mean", dtype="float32",
+                        use_pallas=use_pallas)
+        return Engine(data, ModelSpec.build("rhe"), cfg)
+
+    eng_ref = mk(False)
+    eng_ref.run_precompute_and_assemble()
+    eng_pl = mk(True)
+    assert eng_pl.use_pallas and eng_pl.dtype == jnp.float32
+    eng_pl.run_sharded(make_mesh(2))
+    np.testing.assert_allclose(eng_pl.T_all, eng_ref.T_all,
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(eng_pl.q_all, eng_ref.q_all,
+                               rtol=2e-4, atol=2e-4)
