@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Kernel-level roofline study for the fused decode+matmul hot path.
+
+Times, on the current accelerator:
+  mxu        pure bf16 MXU matmuls on PRE-decoded dosages resident in HBM
+             (the no-decode upper bound; HBM cost of reading bf16 g)
+  jnp        block_stats_core on packed bytes (XLA decode+matmul)
+  pallas     block_stats_pallas_core, current kernels (SWAR byte decode)
+  gp/ytg     the two Pallas stages in isolation
+
+and prints GFLOP/s, MFU vs peak, and the HBM-bandwidth bound for each.
+Peak numbers default to v5e-class (197 TF/s bf16, 819 GB/s); override
+with PEAK_TFLOPS / PEAK_GBS env vars.
+
+Timing uses the marginal-rate method of bench.py (short vs long jitted
+scan) to cancel dispatch/tunnel latency.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pyrhe_tpu.io.bed import clean_packed
+    from pyrhe_tpu.ops.kernels import (gp_matmul, pad_to, plane_permutation,
+                                       ytg_matmul)
+    from pyrhe_tpu.ops.moments import block_stats_core, block_stats_pallas_core
+    from pyrhe_tpu.utils.jaxcache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+    dev = jax.devices()[0]
+    on_tpu = dev.platform != "cpu"
+    N = int(os.environ.get("BK_N", 131072 if on_tpu else 8192))
+    m = int(os.environ.get("BK_M", 2048 if on_tpu else 512))
+    K = int(os.environ.get("BK_K", 1))
+    B = int(os.environ.get("BK_B", 10))
+    use_cov = os.environ.get("BK_COV", "0") == "1"
+    T = 1
+    b2 = B * (2 if use_cov else 1)
+    Bp = b2 + T
+    tm, tn = 512, 2048
+    S_short, S_long = (4, 16) if on_tpu else (2, 4)
+    peak_tf = float(os.environ.get("PEAK_TFLOPS", 197))
+    peak_gbs = float(os.environ.get("PEAK_GBS", 819))
+
+    rng = np.random.default_rng(0)
+    n_pad = pad_to(N, tn)
+    nb = n_pad // 4
+    perm = plane_permutation(n_pad, tn)
+    mask = jax.device_put((perm < N).astype(np.float32), dev)
+    P_nat = np.zeros((n_pad, Bp), np.float32)
+    P_nat[:N] = rng.normal(size=(N, Bp))
+    P_perm = jax.device_put(P_nat[perm], dev)
+    P_flat = jax.device_put(P_nat[:N], dev)
+    annot = np.zeros((m, K), np.float32)
+    annot[np.arange(m), rng.integers(0, K, m)] = 1.0
+    annot_d = jax.device_put(annot, dev)
+    fill = jax.device_put(np.zeros(m, np.float32), dev)
+
+    def make_packed(S, padded):
+        raw = rng.integers(0, 256, size=(S, m, nb if padded else (N + 3) // 4),
+                           dtype=np.uint8)
+        fills = rng.integers(0, 3, size=m).astype(np.float64)
+        for s in range(S):
+            clean_packed(raw[s], fills, out=raw[s])
+        return jax.device_put(raw, dev)
+
+    flops_per_block = 2.0 * N * m * (Bp + K * b2)
+    stage1_flops = 2.0 * N * m * Bp
+    stage2_flops = 2.0 * N * m * (K * b2)
+    results = {}
+
+    def scan_over(stats, blocks_builder):
+        """Marginal seconds/block between a short and a long jitted scan
+        (cancels dispatch/tunnel latency)."""
+        @jax.jit
+        def run(bs):
+            def body(c, blk):
+                leaves = jax.tree.leaves(stats(blk))
+                return c + sum(jnp.sum(l.astype(jnp.float32))
+                               for l in leaves), None
+            tot, _ = jax.lax.scan(body, jnp.float32(0), bs)
+            return tot
+
+        tt = {}
+        for S in (S_short, S_long):
+            blocks = blocks_builder(S)
+            float(run(blocks))               # compile + sync
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(run(blocks))
+                best = min(best, time.perf_counter() - t0)
+            tt[S] = best
+            del blocks
+        return (tt[S_long] - tt[S_short]) / (S_long - S_short)
+
+    # ---- mxu upper bound: pre-decoded bf16 dosage resident in HBM --------
+    def mxu_builder(S):
+        g = rng.integers(0, 3, size=(S, m, N)).astype(np.float32)
+        return jax.device_put(jnp.asarray(g, jnp.bfloat16), dev)
+
+    Pb = P_flat.astype(jnp.bfloat16)
+
+    def mxu_stats(g):
+        gp = jnp.dot(g, Pb, preferred_element_type=jnp.float32)
+        y = gp[:, :b2].astype(jnp.bfloat16)
+        xxg = jnp.dot(y.T, g, preferred_element_type=jnp.float32)
+        return gp, xxg
+
+    t = scan_over(mxu_stats, mxu_builder)
+    results["mxu_bf16_upper_bound"] = flops_per_block / t / 1e9
+
+    # ---- jnp packed path ---------------------------------------------------
+    def jnp_stats(blk):
+        return block_stats_core(blk, fill, annot_d, P_flat, None, n_indiv=N,
+                                components=(("add", None),), b2=b2,
+                                packed=True, dtype=jnp.float32,
+                                mm_mode="bf16")
+
+    t = scan_over(jnp_stats, lambda S: make_packed(S, padded=False))
+    results["jnp_packed"] = flops_per_block / t / 1e9
+
+    # ---- pallas full block stats (bf16 and split2) -------------------------
+    for mode in ("bf16", "split2"):
+        def pl_stats(blk, _mode=mode):
+            return block_stats_pallas_core(
+                blk, fill, annot_d, P_perm, None, mask, n_indiv=N,
+                components=(("add", None),), b2=b2, dtype=jnp.float32,
+                kernel_dtype=jnp.bfloat16, mm_split=(_mode == "split2"),
+                clean=True, interpret=not on_tpu, tm=tm, tn=tn)
+        t = scan_over(pl_stats, lambda S: make_packed(S, padded=True))
+        results[f"pallas_{mode}"] = flops_per_block / t / 1e9
+
+    # ---- isolated stages ----------------------------------------------------
+    fill2 = jnp.zeros((m, 1), jnp.float32)
+    Cb = P_perm.astype(jnp.float32)
+    t = scan_over(
+        lambda blk: gp_matmul(blk, fill2, Cb, tm=tm, tn=tn,
+                              dtype=jnp.bfloat16, clean=True,
+                              interpret=not on_tpu),
+        lambda S: make_packed(S, padded=True))
+    results["stage1_gp"] = stage1_flops / t / 1e9
+
+    Yt = jnp.asarray(rng.normal(size=(K * b2, m)), jnp.bfloat16)
+    t = scan_over(
+        lambda blk: ytg_matmul(blk, fill2, Yt, tm=tm, tn=tn,
+                               dtype=jnp.bfloat16, clean=True,
+                               interpret=not on_tpu),
+        lambda S: make_packed(S, padded=True))
+    results["stage2_ytg"] = stage2_flops / t / 1e9
+
+    # ---- roofline context ----------------------------------------------------
+    packed_bytes = m * nb
+    hbm_bound_gflops = flops_per_block / (
+        2 * packed_bytes / (peak_gbs * 1e9)) / 1e9  # 2 stages re-read bytes
+    report = {
+        "shape": {"N": N, "m": m, "K": K, "B": B, "cov": use_cov, "b2": b2},
+        "gflops": {k: round(v, 1) for k, v in results.items()},
+        "mfu_pct": {k: round(100 * v / (peak_tf * 1e3), 2)
+                    for k, v in results.items()},
+        "hbm_bound_gflops": round(hbm_bound_gflops, 1),
+        "peak_tflops": peak_tf,
+    }
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

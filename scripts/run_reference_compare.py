@@ -47,23 +47,48 @@ def main():
 
     with tempfile.TemporaryDirectory() as tmp:
         ours_out = os.path.join(tmp, "ours.txt")
+        # the config's own `output=` key would override -o (config-overlay
+        # precedence, reference behavior) — rewrite it like the reference's
+        # integration tests do (test_rhe.py:175-182)
+        cfg_copy = os.path.join(tmp, os.path.basename(args.config))
+        with open(args.config) as f, open(cfg_copy, "w") as g:
+            for line in f:
+                if line.strip().startswith("output"):
+                    line = f"output = {ours_out}\n"
+                g.write(line)
         t_ours = min(run([sys.executable, os.path.join(ROOT, "run_rhe.py"),
-                          "--config", args.config, "-o", ours_out])
+                          "--config", cfg_copy])
                      for _ in range(args.reps))
         ours = parse_output_file(ours_out)
         ours["runtime_wall"] = t_ours
 
         ref = None
         ref_cmd = None
+        pyrhe_dir = os.environ.get("PYRHE_DIR", "/root/reference")
         if args.reference_cmd:
             ref_cmd = shlex.split(args.reference_cmd.format(
                 config=args.config))
         elif os.environ.get("RHEMC_BIN"):
             ref_cmd = [os.environ["RHEMC_BIN"], "--config", args.config]
-        elif os.environ.get("PYRHE_DIR"):
+        elif os.path.isdir(pyrhe_dir):
+            # drive the reference's model classes through the compat
+            # driver (its own CLI crashes on a string seed — SURVEY 2.6);
+            # translate the INI config into driver flags
+            from pyrhe_tpu.cli import parse_config
+            cfgd = parse_config(args.config, "PyRHE_Config")
             ref_cmd = [sys.executable,
-                       os.path.join(os.environ["PYRHE_DIR"], "run_rhe.py"),
-                       "--config", args.config]
+                       os.path.join(HERE, "_ref_compat",
+                                    "run_reference.py")]
+            flagmap = {"model": "--model", "genie_model": "--genie_model",
+                       "genotype": "-g", "phenotype": "-p",
+                       "covariate": "-c", "env": "-e",
+                       "annotation": "-annot", "num_vec": "-k",
+                       "num_bin": "-b", "num_block": "-jn", "seed": "-s"}
+            for key, flag in flagmap.items():
+                if cfgd.get(key) not in (None, "", "none", "None"):
+                    ref_cmd += [flag, str(cfgd[key])]
+            if cfgd.get("streaming", "no").lower() in ("yes", "true", "1"):
+                ref_cmd.append("--streaming")
         if ref_cmd:
             ref_out = os.path.join(tmp, "ref.txt")
             t_ref = min(run(ref_cmd + ["-o", ref_out])
