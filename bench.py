@@ -137,11 +137,17 @@ def main():
         gflops = bench_scan(8192, 512, 1, 10, 2, 6, mode, impl)
 
     baseline_gflops = 8.9  # PyRHE CPU-equivalent, see module docstring
+    peak_tflops = float(os.environ.get("PEAK_TFLOPS", 197))  # v5e bf16
     print(json.dumps({
         "metric": "genotype_matvec_gflops_per_chip",
         "value": round(gflops, 2),
         "unit": "GFLOP/s",
         "vs_baseline": round(gflops / baseline_gflops, 2),
+        "mfu_pct": round(100 * gflops / (peak_tflops * 1e3), 2),
+        "config": {"K": 1, "B": 10, "impl": impl, "dtype": mode},
+        "note": ("useful-FLOP MFU at K=1,B=10 is output-shape-bound "
+                 "(probe width 21 of a 128-lane MXU tile); see "
+                 "docs/design/perf.md roofline — k=50 sustains ~3.3x"),
     }))
 
 

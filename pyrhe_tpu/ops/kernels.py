@@ -34,15 +34,20 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 
 
-def plane_permutation(n_pad: int, tn: int = 512) -> np.ndarray:
+def plane_permutation(n_pad: int, tn: int = 512,
+                      planes: int = 4) -> np.ndarray:
     """pi such that natural-index array[pi] matches the kernels' decoded
-    order: within each tile of tn individuals (tn/4 bytes), the four bit
-    planes are laid out contiguously. n_pad must be a multiple of tn."""
-    assert n_pad % tn == 0
+    order: within each tile of tn individuals, the bit planes are laid out
+    contiguously. n_pad must be a multiple of tn.
+
+    planes=4: byte-lane decode — plane p holds code p of each byte.
+    planes=16: int32-word decode (4 packed bytes per lane) — plane
+    p = 4*byte_in_word + code_in_byte, each plane tn/16 long."""
+    assert n_pad % tn == 0 and planes in (4, 16)
     out = []
     for t0 in range(0, n_pad, tn):
-        idx = np.arange(t0, t0 + tn).reshape(tn // 4, 4)
-        out.extend(idx[:, p] for p in range(4))
+        idx = np.arange(t0, t0 + tn).reshape(tn // planes, planes)
+        out.extend(idx[:, p] for p in range(planes))
     return np.concatenate(out)
 
 
@@ -80,27 +85,28 @@ def _decode_tile(packed, fill_col, dtype, square=False):
 
 
 def _swar_doses(packed32):
-    """SWAR decode of CLEANED bytes (no 0b01 missing codes, io/bed.py's
-    clean_packed): all four 2-bit codes of each byte map to their dosages
+    """SWAR decode of CLEANED codes (no 0b01 missing codes, io/bed.py's
+    clean_packed): every 2-bit code in the 32-bit value maps to its dosage
     simultaneously —
 
-        d = ((b>>1) & 0x55) + (((b>>1) & 0x55) & b)
+        d = ((b>>1) & 0x55...) + (((b>>1) & 0x55...) & b)
 
     hi bits land at even positions, and hi&lo adds 1 exactly for code 0b11;
     each 2-bit field holds dosage {0,1,2} with no carry into the next field.
-    4 integer ops replace the 4x per-plane extract+branch-free-missing
-    dance (the VPU decode, not the MXU, bounds these kernels)."""
+    Works identically on byte-widened int32 lanes (4 codes live) and on
+    full int32 words (16 codes live — 4x fewer vector ops, the `word`
+    decode mode). The VPU decode, not the MXU, bounds these kernels."""
     h = (packed32 >> 1) & 0x55555555
     return h + (h & packed32)
 
 
-def _swar_plane(d, p, dtype, square=False):
+def _swar_plane(d, p, dtype, square=False, nplanes=4):
     """Extract plane p's dosage (or its square) from SWAR-packed fields.
-    Plane 0 needs no shift; the TOP plane needs no mask (higher bits are
-    zero) — 10 int ops for all 4 planes instead of 12."""
-    nplanes = 4
+    Plane 0 needs no shift; a byte-mode TOP plane needs no mask (higher
+    bits are zero). Word mode (nplanes=16) always masks: dosage 2 in the
+    top field sets bit 31, so arithmetic shifts drag sign bits down."""
     dp = d if p == 0 else d >> (2 * p)
-    if p != nplanes - 1:
+    if nplanes == 16 or p != nplanes - 1:
         dp = dp & 3
     if square:
         dp = dp + (dp & 2)          # 0,1,2 -> 0,1,4
@@ -120,10 +126,22 @@ def _dots(g, r, dims, split, dtype):
     return dot(hi) + dot(lo)
 
 
-def _plane_iter(packed_ref, fill_ref, dtype, square, clean):
-    """Yield the 4 decoded (TM, TNb) plane tiles, via the 4-op SWAR decode
-    when the bytes are pre-cleaned (no missing codes) or the branch-free
-    missing-fill decode otherwise."""
+def _plane_iter(packed_ref, fill_ref, dtype, square, clean, word=False):
+    """Yield the decoded plane tiles.
+
+    word=True: packed_ref holds int32 WORDS (16 codes per lane, staged by
+    viewing the cleaned packed bytes as little-endian int32) — one SWAR
+    pass decodes 16 codes/lane and 16 (TM, TN/16) planes are extracted.
+    4x fewer vector ops per code than byte mode for the SWAR itself and
+    no u8->int32 widening. Requires clean bytes.
+
+    word=False: packed_ref holds bytes; 4 planes via SWAR when clean, or
+    the branch-free missing-fill decode otherwise."""
+    if word:
+        d = _swar_doses(packed_ref[:])
+        for p in range(16):
+            yield _swar_plane(d, p, dtype, square, nplanes=16)
+        return
     packed32 = packed_ref[:].astype(jnp.int32)
     if clean:
         d = _swar_doses(packed32)
@@ -138,7 +156,7 @@ def _plane_iter(packed_ref, fill_ref, dtype, square, clean):
 
 
 def _gp_kernel(packed_ref, fill_ref, c_ref, out_ref, *, dtype, square,
-               split, planewise, clean):
+               split, planewise, clean, word):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -151,41 +169,19 @@ def _gp_kernel(packed_ref, fill_ref, c_ref, out_ref, *, dtype, square,
         # MXU pass (the planes are independent until the accumulate).
         acc = None
         for p, g in enumerate(_plane_iter(packed_ref, fill_ref, dtype,
-                                          square, clean)):
+                                          square, clean, word)):
             d = _dots(g, c_ref[p * tnb:(p + 1) * tnb, :], ((1,), (0,)),
                       split, dtype)
             acc = d if acc is None else acc + d
         out_ref[:] += acc
     else:
         g = jnp.concatenate(list(_plane_iter(packed_ref, fill_ref, dtype,
-                                             square, clean)), axis=1)
+                                             square, clean, word)), axis=1)
         out_ref[:] += _dots(g, c_ref[:], ((1,), (0,)), split, dtype)
 
 
-def _xxg_kernel(packed_ref, fill_ref, y_ref, out_ref, *, dtype, square,
-                split, planewise, clean):
-    i = pl.program_id(1)
-
-    @pl.when(i == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    tnb = packed_ref.shape[1]
-    if planewise:
-        y = y_ref[:]
-        for p, g in enumerate(_plane_iter(packed_ref, fill_ref, dtype,
-                                          square, clean)):
-            # g^T @ y : contract the SNP (sublane) dim of both
-            out_ref[p * tnb:(p + 1) * tnb, :] += _dots(
-                g, y, ((0,), (0,)), split, dtype)
-    else:
-        g = jnp.concatenate(list(_plane_iter(packed_ref, fill_ref, dtype,
-                                             square, clean)), axis=1)
-        out_ref[:] += _dots(g, y_ref[:], ((0,), (0,)), split, dtype)
-
-
 def _ytg_kernel(packed_ref, fill_ref, yt_ref, out_ref, *, dtype, square,
-                split, clean):
+                split, clean, word):
     """Transposed stage 2: out (Q, tn) += y^T g. Feeding the SMALL operand
     pre-transposed keeps every MXU pass in native (M,K)@(K,N) form — no
     relayout of the big decoded tile (the ((0,),(0,)) contraction in
@@ -199,7 +195,7 @@ def _ytg_kernel(packed_ref, fill_ref, yt_ref, out_ref, *, dtype, square,
     tnb = packed_ref.shape[1]
     yt = yt_ref[:]
     for p, g in enumerate(_plane_iter(packed_ref, fill_ref, dtype,
-                                      square, clean)):
+                                      square, clean, word)):
         out_ref[:, p * tnb:(p + 1) * tnb] += _dots(
             yt, g, ((1,), (0,)), split, dtype)
 
@@ -215,24 +211,30 @@ def _compiler_params(interpret, semantics):
 
 @functools.partial(jax.jit, static_argnames=("tm", "tn", "dtype",
                                              "interpret", "square",
-                                             "split", "planewise", "clean"))
+                                             "split", "planewise", "clean",
+                                             "word"))
 def gp_matmul(packed, fill, C_perm, *, tm=256, tn=512, dtype=jnp.bfloat16,
               interpret=False, square=False, split=False, planewise=True,
-              clean=False):
+              clean=False, word=False):
     """GP = g @ C with in-kernel decode.
 
-    packed: (m_pad, nb_pad) u8, rows zero-padded; fill: (m_pad, 1) f32;
-    C_perm: (n_pad, W) f32 (or bf16) in plane order, zero rows for padding.
-    Returns (m_pad, W) f32.
+    packed: (m_pad, nb_pad) u8 — or (m_pad, nw_pad) int32 WORDS when
+    word=True (cleaned packed bytes viewed little-endian; 16 codes/lane) —
+    rows zero-padded; fill: (m_pad, 1) f32; C_perm: (n_pad, W) f32 (or
+    bf16) in the matching plane order (plane_permutation(..., planes)),
+    zero rows for padding. Returns (m_pad, W) f32.
     """
+    per_lane = 16 if word else 4
     m_pad, nb_pad = packed.shape
     n_pad, W = C_perm.shape
-    assert n_pad == 4 * nb_pad and m_pad % tm == 0 and (4 * nb_pad) % tn == 0
-    tnb = tn // 4
-    grid = (m_pad // tm, (4 * nb_pad) // tn)
+    assert n_pad == per_lane * nb_pad and m_pad % tm == 0
+    assert (per_lane * nb_pad) % tn == 0
+    tnb = tn // per_lane
+    grid = (m_pad // tm, n_pad // tn)
     return pl.pallas_call(
         functools.partial(_gp_kernel, dtype=dtype, square=square,
-                          split=split, planewise=planewise, clean=clean),
+                          split=split, planewise=planewise, clean=clean,
+                          word=word),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tm, tnb), lambda i, j: (i, j),
@@ -249,7 +251,8 @@ def gp_matmul(packed, fill, C_perm, *, tm=256, tn=512, dtype=jnp.bfloat16,
                                          ("parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * n_pad * W * (2 if split else 1),
-            bytes_accessed=m_pad * nb_pad + n_pad * W * 4 + m_pad * W * 4,
+            bytes_accessed=m_pad * n_pad // 4 + n_pad * W * 4
+            + m_pad * W * 4,
             transcendentals=0),
         interpret=interpret,
     )(packed, fill, C_perm)
@@ -299,25 +302,28 @@ def xxg_matmul(packed, fill, Y, *, tm=256, tn=512, dtype=jnp.bfloat16,
 
 @functools.partial(jax.jit, static_argnames=("tm", "tn", "dtype",
                                              "interpret", "square",
-                                             "clean"))
+                                             "clean", "word"))
 def ytg_matmul(packed, fill, Yt, *, tm=256, tn=512, dtype=jnp.bfloat16,
-               interpret=False, square=False, clean=False):
-    """XXG^T = Y^T @ g with in-kernel decode — the transposed form of
-    xxg_matmul. Pre-transposing the SMALL (m, Q) operand to (Q, m) keeps
-    the MXU pass in native (M,K)@(K,N) form so the big decoded tile is
-    never relayouted. Returns (Q, 4*nb_pad) f32 in plane order.
+               interpret=False, square=False, clean=False, word=False):
+    """XXG^T = Y^T @ g with in-kernel decode (transposed stage 2).
+    Pre-transposing the SMALL (m, Q) operand to (Q, m) keeps the MXU pass
+    in native (M,K)@(K,N) form so the big decoded tile is never
+    relayouted. Returns (Q, n_pad) f32 in plane order.
 
-    packed: (m_pad, nb_pad) u8; fill: (m_pad, 1); Yt: (Q, m_pad) f32/bf16
-    (zero cols for padded SNPs).
+    packed: (m_pad, nb_pad) u8 — or (m_pad, nw_pad) int32 words when
+    word=True; fill: (m_pad, 1); Yt: (Q, m_pad) f32/bf16 (zero cols for
+    padded SNPs).
     """
+    per_lane = 16 if word else 4
     m_pad, nb_pad = packed.shape
+    n_pad = per_lane * nb_pad
     Q, _ = Yt.shape
-    assert m_pad % tm == 0 and (4 * nb_pad) % tn == 0
-    tnb = tn // 4
-    grid = ((4 * nb_pad) // tn, m_pad // tm)
+    assert m_pad % tm == 0 and n_pad % tn == 0
+    tnb = tn // per_lane
+    grid = (n_pad // tn, m_pad // tm)
     return pl.pallas_call(
         functools.partial(_ytg_kernel, dtype=dtype, square=square,
-                          split=False, clean=clean),
+                          split=False, clean=clean, word=word),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tm, tnb), lambda j, i: (i, j),
@@ -329,13 +335,13 @@ def ytg_matmul(packed, fill, Yt, *, tm=256, tn=512, dtype=jnp.bfloat16,
         ],
         out_specs=pl.BlockSpec((Q, tn), lambda j, i: (0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Q, 4 * nb_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Q, n_pad), jnp.float32),
         compiler_params=_compiler_params(interpret,
                                          ("parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
-            flops=2 * m_pad * 4 * nb_pad * Q,
-            bytes_accessed=m_pad * nb_pad + m_pad * Q * 4
-            + 4 * nb_pad * Q * 4,
+            flops=2 * m_pad * n_pad * Q,
+            bytes_accessed=m_pad * n_pad // 4 + m_pad * Q * 4
+            + n_pad * Q * 4,
             transcendentals=0),
         interpret=interpret,
     )(packed, fill, Yt)

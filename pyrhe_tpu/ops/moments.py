@@ -234,6 +234,7 @@ def block_stats_pallas_core(
     interpret: bool = False,
     tm: int = 256,
     tn: int = 512,
+    word: bool = False,
 ):
     """block_stats via the fused decode+matmul Pallas kernels
     (ops/kernels.py). Inputs follow the plane-permutation contract; the
@@ -245,8 +246,11 @@ def block_stats_pallas_core(
     split of the probe-side operand (split2). clean=True promises the
     packed bytes hold NO missing codes (io/bed.clean_packed rewrote them
     with the integral imputation fills), enabling the 4-op SWAR decode.
-    Stage 2 always feeds the small operand pre-transposed (ytg_matmul) so
-    no decoded tile is ever relayouted."""
+    word=True additionally takes `packed` as little-endian int32 WORDS
+    (the cleaned bytes .view(int32): 16 codes per lane, 4x fewer decode
+    ops; P/env/mask must use the 16-plane permutation). Stage 2 always
+    feeds the small operand pre-transposed (ytg_matmul) so no decoded
+    tile is ever relayouted."""
     from .kernels import gp_matmul, ytg_matmul
 
     fill2 = fill[:, None].astype(jnp.float32)
@@ -266,19 +270,21 @@ def block_stats_pallas_core(
         if split:
             out = gp_matmul(packed, fill2, _hilo(C32, 1), tm=tm, tn=tn,
                             dtype=kernel_dtype, interpret=interpret,
-                            square=(which == "g2"), clean=clean)
+                            square=(which == "g2"), clean=clean, word=word)
             W = C.shape[1]
             return (out[:, :W] + out[:, W:]).astype(dtype)
         return gp_matmul(packed, fill2, C32, tm=tm, tn=tn,
                          dtype=kernel_dtype, interpret=interpret,
-                         square=(which == "g2"), clean=clean).astype(dtype)
+                         square=(which == "g2"), clean=clean,
+                         word=word).astype(dtype)
 
     def run2(which, Y):
         Yt = Y.astype(jnp.float32).T               # (Q, m) — small relayout
         if split:
             out = ytg_matmul(packed, fill2, _hilo(Yt, 0), tm=tm, tn=tn,
                              dtype=kernel_dtype, interpret=interpret,
-                             square=(which == "g2"), clean=clean)
+                             square=(which == "g2"), clean=clean,
+                             word=word)
             Q = Yt.shape[0]
             return (out[:Q] + out[Q:]).astype(dtype)
         # _ytg_kernel uses the lhs operand as-is (only the rhs is cast);
@@ -286,7 +292,7 @@ def block_stats_pallas_core(
         return ytg_matmul(packed, fill2, Yt.astype(kernel_dtype),
                           tm=tm, tn=tn, dtype=kernel_dtype,
                           interpret=interpret, square=(which == "g2"),
-                          clean=clean).astype(dtype)
+                          clean=clean, word=word).astype(dtype)
 
     return _moment_algebra(run1, run2, N, annot_f, P_perm, env_perm,
                            n_indiv=n_indiv, components=components, b2=b2,
@@ -296,7 +302,7 @@ def block_stats_pallas_core(
 block_stats_pallas = partial(
     jax.jit,
     static_argnames=("n_indiv", "components", "b2", "dtype", "kernel_dtype",
-                     "mm_split", "clean", "interpret", "tm", "tn"),
+                     "mm_split", "clean", "interpret", "tm", "tn", "word"),
 )(block_stats_pallas_core)
 
 

@@ -32,7 +32,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from pyrhe_tpu.io.bed import clean_packed
     from pyrhe_tpu.ops.kernels import (gp_matmul, pad_to, plane_permutation,
                                        ytg_matmul)
     from pyrhe_tpu.ops.moments import block_stats_core, block_stats_pallas_core
@@ -69,21 +68,25 @@ def main():
     fill = jax.device_put(np.zeros(m, np.float32), dev)
 
     def make_packed(S, padded):
-        raw = rng.integers(0, 256, size=(S, m, nb if padded else (N + 3) // 4),
-                           dtype=np.uint8)
-        fills = rng.integers(0, 3, size=m).astype(np.float64)
-        for s in range(S):
-            clean_packed(raw[s], fills, out=raw[s])
-        return jax.device_put(raw, dev)
+        # random bytes generated ON DEVICE: content is irrelevant to kernel
+        # timing (any byte decodes to a valid dosage) and host RNG at these
+        # sizes would dominate the benchmark's wall-clock
+        shape = (S, m, nb if padded else (N + 3) // 4)
+        return jax.jit(lambda k: jax.random.randint(
+            k, shape, 0, 256, jnp.uint8), static_argnums=())(
+            jax.device_put(jax.random.key(S), dev))
 
     flops_per_block = 2.0 * N * m * (Bp + K * b2)
     stage1_flops = 2.0 * N * m * Bp
     stage2_flops = 2.0 * N * m * (K * b2)
     results = {}
 
-    def scan_over(stats, blocks_builder):
+    def scan_over(stats, blocks_builder, s_short=None, s_long=None):
         """Marginal seconds/block between a short and a long jitted scan
         (cancels dispatch/tunnel latency)."""
+        s_short = s_short or S_short
+        s_long = s_long or S_long
+
         @jax.jit
         def run(bs):
             def body(c, blk):
@@ -94,7 +97,7 @@ def main():
             return tot
 
         tt = {}
-        for S in (S_short, S_long):
+        for S in (s_short, s_long):
             blocks = blocks_builder(S)
             float(run(blocks))               # compile + sync
             best = float("inf")
@@ -104,12 +107,13 @@ def main():
                 best = min(best, time.perf_counter() - t0)
             tt[S] = best
             del blocks
-        return (tt[S_long] - tt[S_short]) / (S_long - S_short)
+        return (tt[s_long] - tt[s_short]) / (s_long - s_short)
 
     # ---- mxu upper bound: pre-decoded bf16 dosage resident in HBM --------
     def mxu_builder(S):
-        g = rng.integers(0, 3, size=(S, m, N)).astype(np.float32)
-        return jax.device_put(jnp.asarray(g, jnp.bfloat16), dev)
+        return jax.jit(lambda k: jax.random.randint(
+            k, (S, m, N), 0, 3, jnp.int8).astype(jnp.bfloat16))(
+            jax.device_put(jax.random.key(S), dev))
 
     Pb = P_flat.astype(jnp.bfloat16)
 
@@ -119,7 +123,8 @@ def main():
         xxg = jnp.dot(y.T, g, preferred_element_type=jnp.float32)
         return gp, xxg
 
-    t = scan_over(mxu_stats, mxu_builder)
+    # few blocks: the bf16 dosage is 8x the packed bytes, keep HBM modest
+    t = scan_over(mxu_stats, mxu_builder, 2, 6 if on_tpu else 3)
     results["mxu_bf16_upper_bound"] = flops_per_block / t / 1e9
 
     # ---- jnp packed path ---------------------------------------------------
@@ -142,6 +147,27 @@ def main():
                 clean=True, interpret=not on_tpu, tm=tm, tn=tn)
         t = scan_over(pl_stats, lambda S: make_packed(S, padded=True))
         results[f"pallas_{mode}"] = flops_per_block / t / 1e9
+
+    # ---- pallas word decode (int32, 16 codes/lane) --------------------------
+    perm16 = plane_permutation(n_pad, tn, planes=16)
+    P16 = jax.device_put(P_nat[perm16], dev)
+    mask16 = jax.device_put((perm16 < N).astype(np.float32), dev)
+
+    def make_words(S):
+        shape = (S, m, n_pad // 16)
+        return jax.jit(lambda k: jax.random.randint(
+            k, shape, -2**31, 2**31 - 1, jnp.int32))(
+            jax.device_put(jax.random.key(S), dev))
+
+    for mode in ("bf16", "split2"):
+        def plw_stats(blk, _mode=mode):
+            return block_stats_pallas_core(
+                blk, fill, annot_d, P16, None, mask16, n_indiv=N,
+                components=(("add", None),), b2=b2, dtype=jnp.float32,
+                kernel_dtype=jnp.bfloat16, mm_split=(_mode == "split2"),
+                clean=True, word=True, interpret=not on_tpu, tm=tm, tn=tn)
+        t = scan_over(plw_stats, make_words)
+        results[f"pallas_word_{mode}"] = flops_per_block / t / 1e9
 
     # ---- isolated stages ----------------------------------------------------
     fill2 = jnp.zeros((m, 1), jnp.float32)

@@ -31,8 +31,8 @@ def make_inputs(m=300, n=700, seed=0, missing=True):
 
 
 @pytest.mark.parametrize("square", [False, True])
-def test_gp_xxg_kernels(square):
-    from pyrhe_tpu.ops.kernels import gp_matmul, xxg_matmul
+def test_gp_ytg_kernels(square):
+    from pyrhe_tpu.ops.kernels import gp_matmul, ytg_matmul
 
     packed_pad, fill_pad, g, perm, m, n, m_pad, n_pad = make_inputs()
     rng = np.random.default_rng(1)
@@ -49,16 +49,54 @@ def test_gp_xxg_kernels(square):
     np.testing.assert_allclose(gp[:m], gg @ C[:n], rtol=2e-5, atol=1e-3)
     assert np.all(gp[m:] == 0)
 
-    Y = rng.normal(size=(m_pad, W))
-    Y[m:] = 0.0
-    xxg = np.asarray(xxg_matmul(
+    Yt = rng.normal(size=(W, m_pad))
+    Yt[:, m:] = 0.0
+    ytg = np.asarray(ytg_matmul(
         jnp.asarray(packed_pad), jnp.asarray(fill_pad[:, None], jnp.float32),
-        jnp.asarray(Y, jnp.float32), tm=TM, tn=TN, dtype=jnp.float32,
+        jnp.asarray(Yt, jnp.float32), tm=TM, tn=TN, dtype=jnp.float32,
         interpret=True, square=square))
-    expect = gg.T @ Y[:m]                      # (n, W) natural order
-    expect_pad = np.zeros((n_pad, W))
-    expect_pad[:n] = expect
-    np.testing.assert_allclose(xxg, expect_pad[perm], rtol=2e-5, atol=1e-3)
+    expect = Yt[:, :m] @ gg                    # (W, n) natural order
+    expect_pad = np.zeros((W, n_pad))
+    expect_pad[:, :n] = expect
+    np.testing.assert_allclose(ytg, expect_pad[:, perm], rtol=2e-5,
+                               atol=1e-3)
+
+
+@pytest.mark.parametrize("square", [False, True])
+def test_word_swar_kernels(square):
+    """word=True: int32-word SWAR decode (16 codes/lane, 16-plane
+    permutation) equals the dense reference on pre-cleaned bytes."""
+    from pyrhe_tpu.io.bed import clean_packed
+    from pyrhe_tpu.ops.kernels import gp_matmul, ytg_matmul
+
+    packed_pad, fill_pad, g, perm4, m, n, m_pad, n_pad = make_inputs(seed=8)
+    clean_pad = np.zeros_like(packed_pad)
+    clean_packed(packed_pad[:m], fill_pad[:m], out=clean_pad[:m])
+    words = clean_pad.view(np.int32)           # (m_pad, n_pad // 16)
+    perm = plane_permutation(n_pad, TN, planes=16)
+    gg = g ** 2 if square else g
+    zf = jnp.zeros((m_pad, 1), jnp.float32)
+
+    rng = np.random.default_rng(9)
+    W = 8
+    C = rng.normal(size=(n_pad, W))
+    C[n:] = 0.0
+    gp = np.asarray(gp_matmul(
+        jnp.asarray(words), zf, jnp.asarray(C[perm], jnp.float32),
+        tm=TM, tn=TN, dtype=jnp.float32, interpret=True, square=square,
+        clean=True, word=True))
+    np.testing.assert_allclose(gp[:m], gg @ C[:n], rtol=2e-5, atol=1e-3)
+
+    Yt = rng.normal(size=(W, m_pad))
+    Yt[:, m:] = 0.0
+    ytg = np.asarray(ytg_matmul(
+        jnp.asarray(words), zf, jnp.asarray(Yt, jnp.float32),
+        tm=TM, tn=TN, dtype=jnp.float32, interpret=True, square=square,
+        clean=True, word=True))
+    expect_pad = np.zeros((W, n_pad))
+    expect_pad[:, :n] = Yt[:, :m] @ gg
+    np.testing.assert_allclose(ytg, expect_pad[:, perm], rtol=2e-5,
+                               atol=1e-3)
 
 
 @pytest.mark.parametrize("components", [
