@@ -53,7 +53,7 @@ def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32",
         from pyrhe_tpu.ops.kernels import pad_to, plane_permutation
         tm, tn = 512, 2048
         n_pad = pad_to(N, tn)
-        perm = plane_permutation(n_pad, tn)
+        perm = plane_permutation(n_pad, tn, planes=16)  # word decode mode
         P_nat = np.zeros((n_pad, Bp), np.float32)
         P_nat[:N] = rng.normal(size=(N, Bp))
         P = jax.device_put(P_nat[perm], dev)
@@ -62,15 +62,15 @@ def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32",
         nb = n_pad // 4
 
         def stats(blk):
-            # clean=True: blocks are missing-free — the host pipeline
-            # rewrites missing codes with the integral imputation fills
-            # (io/bed.clean_packed) before staging, exactly as
-            # engine._load_block does
+            # clean+word: blocks are missing-free (io/bed.clean_packed
+            # rewrote missing codes with the integral imputation fills)
+            # and staged as int32 words — exactly as engine._load_block
+            # does on the production path
             return block_stats_pallas_core(
                 blk, fill, annot_d, P, None, mask, n_indiv=N,
                 components=(("add", None),), b2=b2, dtype=jnp.float32,
-                kernel_dtype=jnp.bfloat16, clean=True, tm=tm, tn=tn,
-                mm_split=(mm_mode == "split2"))
+                kernel_dtype=jnp.bfloat16, clean=True, word=True,
+                tm=tm, tn=tn, mm_split=(mm_mode == "split2"))
         N_out = n_pad
     else:
         P = jax.device_put(rng.normal(size=(N, Bp)).astype(np.float32), dev)
@@ -90,6 +90,7 @@ def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32",
             fills = rng.integers(0, 3, size=m).astype(np.float64)
             for b in range(n_blocks):
                 clean_packed(raw[b], fills, out=raw[b])
+            raw = raw.view(np.int32)          # word decode staging
         blocks = jax.device_put(raw, dev)
 
         @jax.jit

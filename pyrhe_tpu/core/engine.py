@@ -170,22 +170,28 @@ class Engine:
     def _setup_pallas(self):
         """Resolve whether blocks go through the fused Pallas kernels.
         Requires the packed path (no individual filtering) and a bf16-based
-        matmul mode; disabled on CPU (interpret mode is test-only)."""
+        matmul mode; disabled on CPU (interpret mode is test-only).
+
+        Kernels run in int32-WORD decode mode (ops/kernels.py word=True):
+        cleaned packed bytes are viewed as little-endian int32, one SWAR
+        pass decodes 16 codes per lane, and all N-indexed arrays use the
+        16-plane permutation. Requires tn % 2048 == 0 so a word tile still
+        spans >= 128 lanes."""
         packed_ok = self.data.bed.keep_idx is None
         if self.cfg.use_pallas == "auto":
             self.use_pallas = (self._dev.platform != "cpu" and packed_ok
                                and self.mm_mode in ("split2", "bf16"))
         else:
             self.use_pallas = bool(self.cfg.use_pallas) and packed_ok
-        # Tile sweep on v5e-class chip (2026-08): tm=512/tn=1024 within ~5%
-        # of the best (512/4096); wider tn only at large N where the
-        # padding it forces is negligible.
+        self.use_word = self.use_pallas
+        # Tile sweep on v5e-class chip (2026-08): tm=512/tn=2048.
         self._pl_tm = 512
-        self._pl_tn = 2048 if self.data.num_indv >= 65536 else 1024
+        self._pl_tn = 2048
         if self.use_pallas:
             from ..ops.kernels import pad_to, plane_permutation
             self.n_pad = pad_to(self.data.num_indv, self._pl_tn)
-            self.perm = plane_permutation(self.n_pad, self._pl_tn)
+            self.perm = plane_permutation(self.n_pad, self._pl_tn,
+                                          planes=16 if self.use_word else 4)
             self.N_work = self.n_pad
         else:
             self.perm = None
@@ -315,6 +321,8 @@ class Engine:
             m_pad = pad_to(m, self._pl_tm)
             out = np.zeros((m_pad, self.n_pad // 4), np.uint8)
             clean_packed(packed, fill, out=out)
+            if self.use_word:
+                out = out.view(np.int32)      # 16 codes per int32 lane
             fill_pad = np.zeros(m_pad)
             fill_pad[:m] = fill
             return out, fill_pad, "pallas"
@@ -358,6 +366,7 @@ class Engine:
                               else jnp.bfloat16),
                 mm_split=(self.mm_mode == "split2"),
                 clean=True,
+                word=self.use_word,
                 interpret=(self._dev.platform == "cpu"),
                 tm=self._pl_tm,
                 tn=self._pl_tn,
@@ -436,7 +445,7 @@ class Engine:
                        kernel_dtype=(jnp.float32 if on_cpu
                                      else jnp.bfloat16),
                        mm_split=(self.mm_mode == "split2"), clean=True,
-                       interpret=on_cpu,
+                       word=self.use_word, interpret=on_cpu,
                        tm=self._pl_tm, tn=self._pl_tn)
 
         @jax.jit

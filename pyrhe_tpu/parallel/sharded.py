@@ -157,7 +157,10 @@ class ShardedRunner:
             annots.append(a)
         mk = partial(jax.make_array_from_process_local_data, self.sh_block)
         gshape = (pl.D * pl.C,)
-        return (mk(np.stack(genos), gshape + genos[0].shape),
+        gstack = np.stack(genos)
+        if self.eng.use_pallas and self.eng.use_word:
+            gstack = gstack.view(np.int32)    # 16 codes per int32 lane
+        return (mk(gstack, gshape + gstack.shape[1:]),
                 mk(np.stack(fills), gshape + fills[0].shape),
                 mk(np.stack(annots), gshape + annots[0].shape))
 
@@ -193,7 +196,8 @@ class ShardedRunner:
                       dtype=eng.dtype,
                       kernel_dtype=(jnp.float32 if on_cpu else jnp.bfloat16),
                       mm_split=(eng.mm_mode == "split2"), clean=True,
-                      interpret=on_cpu, tm=eng._pl_tm, tn=eng._pl_tn)
+                      word=eng.use_word, interpret=on_cpu,
+                      tm=eng._pl_tm, tn=eng._pl_tn)
 
             def core(g, f, a, P_mat, env, mask):
                 return block_stats_pallas_core(g, f, a, P_mat, env, mask,
