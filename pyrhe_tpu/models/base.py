@@ -145,21 +145,26 @@ class BaseModel:
             self._computed = True
 
     def _want_sharded(self) -> bool:
-        """Use the mesh-sharded path when requested via
-        PYRHE_TPU_DISTRIBUTED=1 (scripts/tpu_pod_run.sh), or automatically
-        under multi-process (jax.distributed) execution. Any num_jack
-        works — the jack axis is padded to the mesh size."""
+        """Use the mesh-sharded path automatically under multi-process
+        (jax.distributed) execution or whenever more than one accelerator
+        device is visible (a single-process multi-chip host would
+        otherwise leave chips idle). PYRHE_TPU_DISTRIBUTED=1 forces it,
+        =0 disables it. Any num_jack works — the jack axis is padded to
+        the mesh size."""
         import jax
+        forced = os.environ.get("PYRHE_TPU_DISTRIBUTED")
+        if forced == "0":
+            return False
         if jax.process_count() > 1:
             return True
-        if os.environ.get("PYRHE_TPU_DISTRIBUTED") != "1":
+        n_dev = len(jax.devices())
+        if n_dev <= 1:
+            if forced == "1":
+                self.log._log(
+                    "Note: PYRHE_TPU_DISTRIBUTED set but only one device "
+                    "is visible; running the sequential engine")
             return False
-        if len(jax.devices()) <= 1:
-            self.log._log(
-                "Note: PYRHE_TPU_DISTRIBUTED set but only one device is "
-                "visible; running the sequential engine")
-            return False
-        return True
+        return forced == "1" or jax.devices()[0].platform != "cpu"
 
     def estimate(self, trait: int = 0, method: str = "QR"):
         self._ensure_computed()
