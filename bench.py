@@ -30,14 +30,14 @@ import numpy as np
 
 
 def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32",
-               impl="jnp"):
+               impl="jnp", use_cov=False):
     import jax
     import jax.numpy as jnp
 
     from pyrhe_tpu.ops.moments import block_stats_core, block_stats_pallas_core
 
     T = 1
-    b2 = B
+    b2 = B * (2 if use_cov else 1)   # covariates double the probe block
     Bp = b2 + T
     rng = np.random.default_rng(0)
     dev = jax.devices()[0]
@@ -132,10 +132,15 @@ def main():
     on_tpu = jax.devices()[0].platform != "cpu"
     mode = os.environ.get("BENCH_DTYPE", "float32")
     impl = os.environ.get("BENCH_IMPL", "pallas" if on_tpu else "jnp")
+    # production-shape overrides: BENCH_K=8 BENCH_COV=1 is the 8-bin +
+    # covariates configuration (stage-2 width K*b2 = 160)
+    K = int(os.environ.get("BENCH_K", 1))
+    B = int(os.environ.get("BENCH_B", 10))
+    cov = os.environ.get("BENCH_COV", "0") == "1"
     if on_tpu:
-        gflops = bench_scan(131072, 2048, 1, 10, 8, 32, mode, impl)
+        gflops = bench_scan(131072, 2048, K, B, 8, 32, mode, impl, cov)
     else:
-        gflops = bench_scan(8192, 512, 1, 10, 2, 6, mode, impl)
+        gflops = bench_scan(8192, 512, K, B, 2, 6, mode, impl, cov)
 
     baseline_gflops = 8.9  # PyRHE CPU-equivalent, see module docstring
     peak_tflops = float(os.environ.get("PEAK_TFLOPS", 197))  # v5e bf16
@@ -145,7 +150,7 @@ def main():
         "unit": "GFLOP/s",
         "vs_baseline": round(gflops / baseline_gflops, 2),
         "mfu_pct": round(100 * gflops / (peak_tflops * 1e3), 2),
-        "config": {"K": 1, "B": 10, "impl": impl, "dtype": mode},
+        "config": {"K": K, "B": B, "cov": cov, "impl": impl, "dtype": mode},
         "note": ("useful-FLOP MFU at K=1,B=10 is output-shape-bound "
                  "(probe width 21 of a 128-lane MXU tile); see "
                  "docs/design/perf.md roofline — k=50 sustains ~3.3x"),
