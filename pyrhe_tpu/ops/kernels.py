@@ -184,8 +184,8 @@ def _ytg_kernel(packed_ref, fill_ref, yt_ref, out_ref, *, dtype, square,
                 split, clean, word):
     """Transposed stage 2: out (Q, tn) += y^T g. Feeding the SMALL operand
     pre-transposed keeps every MXU pass in native (M,K)@(K,N) form — no
-    relayout of the big decoded tile (the ((0,),(0,)) contraction in
-    _xxg_kernel costs a transpose of g per tile)."""
+    relayout of the big decoded tile (a g^T@Y formulation would pay a
+    ((0,),(0,)) contraction, i.e. a transpose of g, per tile)."""
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -256,48 +256,6 @@ def gp_matmul(packed, fill, C_perm, *, tm=256, tn=512, dtype=jnp.bfloat16,
             transcendentals=0),
         interpret=interpret,
     )(packed, fill, C_perm)
-
-
-@functools.partial(jax.jit, static_argnames=("tm", "tn", "dtype",
-                                             "interpret", "square",
-                                             "split", "planewise", "clean"))
-def xxg_matmul(packed, fill, Y, *, tm=256, tn=512, dtype=jnp.bfloat16,
-               interpret=False, square=False, split=False, planewise=True,
-               clean=False):
-    """XXG = g^T @ Y with in-kernel decode.
-
-    packed: (m_pad, nb_pad) u8; fill: (m_pad, 1); Y: (m_pad, Q) f32 or bf16
-    (zero rows for padded SNPs). Returns (4*nb_pad, Q) f32 in plane order.
-    """
-    m_pad, nb_pad = packed.shape
-    _, Q = Y.shape
-    assert m_pad % tm == 0 and (4 * nb_pad) % tn == 0
-    tnb = tn // 4
-    grid = ((4 * nb_pad) // tn, m_pad // tm)
-    return pl.pallas_call(
-        functools.partial(_xxg_kernel, dtype=dtype, square=square,
-                          split=split, planewise=planewise, clean=clean),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tm, tnb), lambda j, i: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, 1), lambda j, i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, Q), lambda j, i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tn, Q), lambda j, i: (j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4 * nb_pad, Q), jnp.float32),
-        compiler_params=_compiler_params(interpret,
-                                         ("parallel", "arbitrary")),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * m_pad * 4 * nb_pad * Q * (2 if split else 1),
-            bytes_accessed=m_pad * nb_pad + m_pad * Q * 4
-            + 4 * nb_pad * Q * 4,
-            transcendentals=0),
-        interpret=interpret,
-    )(packed, fill, Y)
 
 
 @functools.partial(jax.jit, static_argnames=("tm", "tn", "dtype",
