@@ -202,6 +202,89 @@ void bed_clean_packed(const uint8_t* packed, int64_t m, int64_t bytes_per_snp,
   for (auto& th : ts) th.join();
 }
 
+// Synthesize m SNP rows of HWE genotypes directly into PACKED .bed bytes,
+// optionally accumulating a phenotype contribution — the generator never
+// materializes the (m, n) dosage matrix, so it runs at register speed
+// instead of host-RAM bandwidth (biobank-scale synthesis for benchmarks;
+// the analog of the reference's simulate_pheno.py:17-59 generative model).
+//
+// Per SNP j (global index snp0+j seeds an independent xorshift128+ stream,
+// so any block range reproduces the same data): each individual draws 16
+// bits u_g and 16 bits u_m; dosage = 2 if u_g < t2[j], else 1 if
+// u_g < t12[j], else 0 (t2 = p^2, t12 = p^2 + 2p(1-p), 16-bit fixed
+// point); the entry is missing if u_m < miss_thr. When w != nullptr,
+// y[i] += w[j] * dosage is accumulated from the TRUE (pre-missing)
+// genotypes into per-thread buffers reduced at the end.
+void bed_synth_block(uint64_t seed, int64_t snp0, int64_t m, int64_t n,
+                     const uint16_t* t2, const uint16_t* t12,
+                     uint16_t miss_thr, const float* w, uint8_t* out,
+                     double* y, int n_threads) {
+  const int64_t bytes_per_snp = (n + 3) / 4;
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::vector<double>> y_parts;
+  auto work = [&](int64_t lo, int64_t hi, double* y_loc) {
+    for (int64_t j = lo; j < hi; ++j) {
+      // splitmix64 expansion of the per-SNP seed into xorshift128+ state
+      uint64_t sm = seed + 0x9E3779B97F4A7C15ULL *
+                             static_cast<uint64_t>(snp0 + j + 1);
+      auto mix = [&sm]() {
+        sm += 0x9E3779B97F4A7C15ULL;
+        uint64_t z = sm;
+        z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+        z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+        return z ^ (z >> 31);
+      };
+      uint64_t s0 = mix(), s1 = mix();
+      auto next = [&s0, &s1]() {
+        uint64_t x = s0, yv = s1;
+        s0 = yv;
+        x ^= x << 23;
+        s1 = x ^ yv ^ (x >> 17) ^ (yv >> 26);
+        return s1 + yv;
+      };
+      const uint16_t th2 = t2[j], th12 = t12[j];
+      const float wj = w ? w[j] : 0.0f;
+      uint8_t* dst = out + j * bytes_per_snp;
+      static const uint8_t dose2code[3] = {0b00, 0b10, 0b11};
+      for (int64_t b = 0; b < bytes_per_snp; ++b) {
+        uint8_t byte = 0;
+        uint64_t r = 0;
+        for (int k = 0; k < 4; ++k) {
+          int64_t i = 4 * b + k;
+          if (i >= n) break;                       // pad bits stay code 0
+          if ((k & 1) == 0) r = next();            // 32 bits per individual
+          uint16_t ug = static_cast<uint16_t>(r >> (32 * (k & 1)));
+          uint16_t um = static_cast<uint16_t>(r >> (32 * (k & 1) + 16));
+          uint8_t dose = (ug < th2) ? 2 : (ug < th12) ? 1 : 0;
+          if (w && dose) y_loc[i] += wj * dose;
+          uint8_t code = (um < miss_thr) ? 0b01 : dose2code[dose];
+          byte |= static_cast<uint8_t>(code << (2 * k));
+        }
+        dst[b] = byte;
+      }
+    }
+  };
+  if (n_threads == 1 || m < 8) {
+    work(0, m, y);
+    return;
+  }
+  std::vector<std::thread> ts;
+  y_parts.resize(static_cast<size_t>(n_threads));
+  int64_t chunk = (m + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t lo = t * chunk;
+    int64_t hi = lo + chunk < m ? lo + chunk : m;
+    if (lo >= hi) break;
+    y_parts[t].assign(w ? static_cast<size_t>(n) : 0, 0.0);
+    ts.emplace_back(work, lo, hi, w ? y_parts[t].data() : nullptr);
+  }
+  for (auto& th : ts) th.join();
+  if (w && y) {
+    for (auto& part : y_parts)
+      for (size_t i = 0; i < part.size(); ++i) y[i] += part[i];
+  }
+}
+
 // Pack an (m, n) uint8 dosage matrix (255 = missing) into PLINK .bed bytes
 // using the same A2-count convention the decoder emits.
 void bed_encode_block(const uint8_t* dosage, int64_t m, int64_t n,

@@ -63,6 +63,11 @@ def _load_native():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
         ]
+        lib.bed_synth_block.argtypes = [
+            ctypes.c_uint64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint16,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ]
         _lib = lib
     except Exception as e:  # pragma: no cover - toolchain issues
         print(f"[pyrhe_tpu] native bed decoder unavailable ({e}); "
@@ -76,6 +81,39 @@ def decode_packed(packed: np.ndarray, n_indiv: int) -> np.ndarray:
     m = packed.shape[0]
     codes = (packed[:, :, None] >> np.array([0, 2, 4, 6], dtype=np.uint8)) & 3
     return _LUT[codes.reshape(m, -1)[:, :n_indiv]]
+
+
+def synth_packed_block(seed: int, snp0: int, m: int, n_indiv: int,
+                       mafs: np.ndarray, miss_rate: float = 0.0,
+                       w: np.ndarray | None = None,
+                       y: np.ndarray | None = None,
+                       n_threads: int = 0) -> np.ndarray | None:
+    """Native HWE genotype synthesis straight into packed .bed bytes.
+
+    mafs: (m,) per-SNP minor-allele frequencies for SNPs snp0..snp0+m.
+    When w is given, y (float64 (n_indiv,)) accumulates sum_j w[j] *
+    dosage_ij from the true pre-missing genotypes. Deterministic in
+    (seed, snp0) — any block range reproduces the same data. Returns the
+    (m, bytes_per_snp) packed array, or None if the native lib is missing
+    (callers fall back to the NumPy generator)."""
+    lib = _load_native()
+    if lib is None:
+        return None
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    p = np.asarray(mafs, np.float64)
+    t2 = np.round(p * p * 65536).clip(0, 65535).astype(np.uint16)
+    t12 = np.round((p * p + 2 * p * (1 - p)) * 65536).clip(0, 65535) \
+        .astype(np.uint16)
+    out = np.empty((m, (n_indiv + 3) // 4), dtype=np.uint8)
+    w_arr = None if w is None else np.ascontiguousarray(w, np.float32)
+    lib.bed_synth_block(
+        ctypes.c_uint64(seed), snp0, m, n_indiv,
+        t2.ctypes.data, t12.ctypes.data,
+        ctypes.c_uint16(int(round(miss_rate * 65536))),
+        None if w_arr is None else w_arr.ctypes.data, out.ctypes.data,
+        None if y is None else y.ctypes.data, n_threads)
+    return out
 
 
 def encode_dosage(dosage: np.ndarray) -> np.ndarray:

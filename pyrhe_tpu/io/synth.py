@@ -57,6 +57,89 @@ def make_dataset(
     return mafs
 
 
+def make_dataset_fast(
+    prefix: str,
+    num_indiv: int,
+    num_snp: int,
+    sigma_list,
+    seed: int = 0,
+    maf_range=(0.05, 0.45),
+    missing_rate: float = 0.0,
+    chunk: int = 2048,
+):
+    """One-pass biobank-scale synthesis for benchmarks.
+
+    Writes `<prefix>.bed/.bim/.fam/.annot/.pheno` in a single sweep. The
+    genotypes and the phenotype contribution y = sum_k X_k beta_k are
+    generated together by the native C++ generator (io/bed.synth_packed_
+    block: HWE draws written straight into packed 2-bit bytes, never
+    materializing the (m, N) dosage matrix), falling back to a chunked
+    NumPy path (uint8 uniforms; MAF quantized to 1/256 — immaterial for
+    benchmarking). Both avoid the second full .bed read that make_dataset
+    + simulate_pheno_file pays. Fixtures must keep using make_dataset: its
+    RNG stream is pinned by the golden tests.
+    """
+    rng = np.random.default_rng(seed)
+    mafs = rng.uniform(maf_range[0], maf_range[1], size=num_snp)
+    num_bin = len(sigma_list)
+    annot = np.zeros((num_snp, num_bin), dtype=np.int64)
+    annot[np.arange(num_snp), rng.integers(0, num_bin, size=num_snp)] = 1
+    len_bin = annot.sum(axis=0)
+    bin_of = annot.argmax(axis=1)
+    beta_sd = np.sqrt(np.asarray(sigma_list) / np.maximum(len_bin, 1))
+    beta = rng.normal(size=num_snp) * beta_sd[bin_of]
+    # standardization uses the generative moments: mean = 2p (quantized),
+    # sd = sqrt(mean * (1 - mean/2)) — the engine's formula
+    mean = 2.0 * mafs
+    sd = np.sqrt(np.maximum(mean * (1 - 0.5 * mean), 1e-12))
+    w = (beta / sd).astype(np.float32)
+
+    from .bed import encode_dosage, synth_packed_block
+
+    y = np.zeros(num_indiv, dtype=np.float64)
+    with open(prefix + ".bed", "wb") as f:
+        f.write(bytes([0x6C, 0x1B, 0x01]))
+        for s0 in range(0, num_snp, chunk):
+            s1 = min(s0 + chunk, num_snp)
+            packed = synth_packed_block(seed, s0, s1 - s0, num_indiv,
+                                        mafs[s0:s1], missing_rate,
+                                        w[s0:s1], y)
+            if packed is None:               # NumPy fallback
+                p = mafs[s0:s1][:, None].astype(np.float32)
+                t2 = np.floor(p * p * 256).astype(np.uint8)
+                t12 = np.floor((p * p + 2 * p * (1 - p)) * 256) \
+                    .astype(np.uint8)
+                u = rng.integers(0, 256, size=(s1 - s0, num_indiv),
+                                 dtype=np.uint8)
+                geno = (u < t2).astype(np.uint8)
+                geno += u < t12
+                y += geno.astype(np.float32).T @ w[s0:s1]
+                if missing_rate > 0:
+                    n_miss = rng.binomial(geno.size, missing_rate)
+                    idx = rng.integers(0, geno.size, size=n_miss)
+                    geno.ravel()[idx] = 255
+                packed = encode_dosage(geno)
+            f.write(packed.tobytes())
+
+    # subtract the analytic mean offset of the standardized contributions
+    y -= float(mean @ (w.astype(np.float64)))
+    resid = max(1.0 - float(np.sum(sigma_list)), 0.05)
+    y += rng.normal(0, np.sqrt(resid), size=num_indiv)
+
+    with open(prefix + ".bim", "w") as f:
+        for i in range(num_snp):
+            f.write(f"1\trs{i}\t0\t{i}\tA\tG\n")
+    with open(prefix + ".fam", "w") as f:
+        for i in range(num_indiv):
+            f.write(f"{i} 1 0 0 0 -9\n")
+    np.savetxt(prefix + ".annot", annot, fmt="%d", delimiter=" ")
+    with open(prefix + ".pheno", "w") as f:
+        f.write("FID IID pheno\n")
+        for i in range(num_indiv):
+            f.write(f"{i} 1 {y[i]:.6g}\n")
+    return mafs, annot, y
+
+
 def make_annot(path: str, num_snp: int, num_bin: int, seed: int = 0,
                overlap: bool = False):
     """Write an annot file; one-hot by default, ~20% double-membership if overlap."""

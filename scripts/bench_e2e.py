@@ -51,10 +51,14 @@ def main():
 
     if not os.path.exists(prefix + ".bed"):
         t0 = time.time()
-        synth.make_dataset(prefix, args.N, args.M, seed=9,
-                           missing_rate=0.01)
-        annot = synth.make_annot(prefix + ".annot", args.M, 1, seed=9)
-        synth.simulate_pheno_file(prefix, prefix, [0.3], annot, seed=10)
+        if args.N * args.M > 10**9:   # biobank scale: one-pass synthesis
+            synth.make_dataset_fast(prefix, args.N, args.M, [0.3], seed=9,
+                                    missing_rate=0.01)
+        else:
+            synth.make_dataset(prefix, args.N, args.M, seed=9,
+                               missing_rate=0.01)
+            annot = synth.make_annot(prefix + ".annot", args.M, 1, seed=9)
+            synth.simulate_pheno_file(prefix, prefix, [0.3], annot, seed=10)
         times["synthesize"] = time.time() - t0
 
     t0 = time.time()

@@ -105,3 +105,42 @@ def test_trace_file_contents(small_dataset, tmp_path):
                              eng.M_mat[j, 0])
         assert float(val) == pytest.approx(expect, abs=0.5e-3)
         assert int(cnt) == eng.M_mat[j, 0]
+
+
+def test_fast_synth_dataset(tmp_path):
+    """make_dataset_fast writes a valid one-pass dataset whose estimates
+    recover the generative sigma (native generator when available, NumPy
+    fallback otherwise — both behind the same interface)."""
+    from pyrhe_tpu.core.data import load_dataset
+    from pyrhe_tpu.core.engine import Engine, ModelSpec, RunConfig
+    from pyrhe_tpu.io import synth
+    from pyrhe_tpu.io.bed import BedFile, synth_packed_block
+
+    prefix = str(tmp_path / "fast")
+    mafs, annot, y = synth.make_dataset_fast(prefix, 1500, 4000, [0.5],
+                                             seed=5, missing_rate=0.02)
+    assert annot.shape == (4000, 1) and y.shape == (1500,)
+
+    bed = BedFile(prefix + ".bed", 1500, 4000)
+    g = bed.read_block(0, 400)
+    miss = g == 255
+    assert 0.01 < miss.mean() < 0.03
+    emp_maf = np.where(miss, 0, g).sum(axis=1) / (2.0 * (~miss).sum(axis=1))
+    assert np.corrcoef(emp_maf, mafs[:400])[0, 1] > 0.99
+
+    # the native generator is deterministic in (seed, snp offset): any
+    # block range reproduces the same bytes
+    a = synth_packed_block(5, 0, 64, 1500, mafs[:64], 0.02)
+    if a is not None:
+        b = synth_packed_block(5, 32, 32, 1500, mafs[32:64], 0.02)
+        assert np.array_equal(a[32:], b)
+
+    data = load_dataset(prefix, annot_file=prefix + ".annot",
+                        pheno_file=prefix + ".pheno", num_random_vec=10,
+                        seed=1)
+    eng = Engine(data, ModelSpec.build("rhe"),
+                 RunConfig(num_random_vec=10, num_jack=10, seed=1))
+    eng.precompute()
+    eng.assemble()
+    _, st = eng.estimate(0)
+    assert abs(st[0] - 0.5) < 0.15
