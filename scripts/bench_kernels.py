@@ -80,6 +80,10 @@ def main():
     stage1_flops = 2.0 * N * m * Bp
     stage2_flops = 2.0 * N * m * (K * b2)
     results = {}
+    only = os.environ.get("BK_ONLY")          # substring filter, e.g. stage1
+
+    def _want(name):
+        return only is None or only in name
 
     def scan_over(stats, blocks_builder, s_short=None, s_long=None):
         """Marginal seconds/block between a short and a long jitted scan
@@ -123,9 +127,10 @@ def main():
         xxg = jnp.dot(y.T, g, preferred_element_type=jnp.float32)
         return gp, xxg
 
-    # few blocks: the bf16 dosage is 8x the packed bytes, keep HBM modest
-    t = scan_over(mxu_stats, mxu_builder, 2, 6 if on_tpu else 3)
-    results["mxu_bf16_upper_bound"] = flops_per_block / t / 1e9
+    if _want("mxu"):
+        # few blocks: the bf16 dosage is 8x the packed bytes, keep HBM modest
+        t = scan_over(mxu_stats, mxu_builder, 2, 6 if on_tpu else 3)
+        results["mxu_bf16_upper_bound"] = flops_per_block / t / 1e9
 
     # ---- jnp packed path ---------------------------------------------------
     def jnp_stats(blk):
@@ -134,11 +139,14 @@ def main():
                                 packed=True, dtype=jnp.float32,
                                 mm_mode="bf16")
 
-    t = scan_over(jnp_stats, lambda S: make_packed(S, padded=False))
-    results["jnp_packed"] = flops_per_block / t / 1e9
+    if _want("jnp"):
+        t = scan_over(jnp_stats, lambda S: make_packed(S, padded=False))
+        results["jnp_packed"] = flops_per_block / t / 1e9
 
     # ---- pallas full block stats (bf16 and split2) -------------------------
     for mode in ("bf16", "split2"):
+        if not _want(f"pallas_{mode}"):
+            continue
         def pl_stats(blk, _mode=mode):
             return block_stats_pallas_core(
                 blk, fill, annot_d, P_perm, None, mask, n_indiv=N,
@@ -160,6 +168,8 @@ def main():
             jax.device_put(jax.random.key(S), dev))
 
     for mode in ("bf16", "split2"):
+        if not _want(f"pallas_word_{mode}"):
+            continue
         def plw_stats(blk, _mode=mode):
             return block_stats_pallas_core(
                 blk, fill, annot_d, P16, None, mask16, n_indiv=N,
@@ -172,20 +182,56 @@ def main():
     # ---- isolated stages ----------------------------------------------------
     fill2 = jnp.zeros((m, 1), jnp.float32)
     Cb = P_perm.astype(jnp.float32)
-    t = scan_over(
-        lambda blk: gp_matmul(blk, fill2, Cb, tm=tm, tn=tn,
-                              dtype=jnp.bfloat16, clean=True,
-                              interpret=not on_tpu),
-        lambda S: make_packed(S, padded=True))
-    results["stage1_gp"] = stage1_flops / t / 1e9
+    if _want("stage1_gp"):
+        t = scan_over(
+            lambda blk: gp_matmul(blk, fill2, Cb, tm=tm, tn=tn,
+                                  dtype=jnp.bfloat16, clean=True,
+                                  interpret=not on_tpu),
+            lambda S: make_packed(S, padded=True))
+        results["stage1_gp"] = stage1_flops / t / 1e9
 
-    Yt = jnp.asarray(rng.normal(size=(K * b2, m)), jnp.bfloat16)
-    t = scan_over(
-        lambda blk: ytg_matmul(blk, fill2, Yt, tm=tm, tn=tn,
-                               dtype=jnp.bfloat16, clean=True,
-                               interpret=not on_tpu),
-        lambda S: make_packed(S, padded=True))
-    results["stage2_ytg"] = stage2_flops / t / 1e9
+    if _want("stage2_ytg"):
+        Yt = jnp.asarray(rng.normal(size=(K * b2, m)), jnp.bfloat16)
+        t = scan_over(
+            lambda blk: ytg_matmul(blk, fill2, Yt, tm=tm, tn=tn,
+                                   dtype=jnp.bfloat16, clean=True,
+                                   interpret=not on_tpu),
+            lambda S: make_packed(S, padded=True))
+        results["stage2_ytg"] = stage2_flops / t / 1e9
+
+    # ---- transposed stage 1: out (W, m) = C^T @ g^T over individual-major
+    # packed words. The SNP axis lands on lanes (128-wide tiles always full)
+    # and the narrow probe width W rides sublanes — the same shape trick the
+    # stage-2 kernel already uses. Content is random (timing only); the
+    # production contract needs packed^T staged individual-major.
+    def make_words_t(S):
+        shape = (S, n_pad, m // 16)
+        return jax.jit(lambda k: jax.random.randint(
+            k, shape, -2**31, 2**31 - 1, jnp.int32))(
+            jax.device_put(jax.random.key(S), dev))
+
+    fillN = jnp.zeros((n_pad, 1), jnp.float32)
+    Ct = jnp.asarray(rng.normal(size=(Bp, n_pad)), jnp.bfloat16)
+    # word mode needs tn % 2048 == 0 (int32 lane tiles must span >=128 words)
+    for tn_t in (2048,):
+        if not _want(f"stage1_t_word_tn{tn_t}"):
+            continue
+        t = scan_over(
+            lambda blk, _tn=tn_t: ytg_matmul(
+                blk, fillN, Ct, tm=tm, tn=_tn, dtype=jnp.bfloat16,
+                clean=True, word=True, interpret=not on_tpu),
+            make_words_t)
+        results[f"stage1_t_word_tn{tn_t}"] = stage1_flops / t / 1e9
+
+    # word-mode baseline for the same isolated stage 1
+    if _want("stage1_gp_word"):
+        C16 = jnp.asarray(P_nat[perm16], jnp.bfloat16)
+        t = scan_over(
+            lambda blk: gp_matmul(blk, fill2, C16, tm=tm, tn=tn,
+                                  dtype=jnp.bfloat16, clean=True, word=True,
+                                  interpret=not on_tpu),
+            make_words)
+        results["stage1_gp_word"] = stage1_flops / t / 1e9
 
     # ---- roofline context ----------------------------------------------------
     packed_bytes = m * nb
