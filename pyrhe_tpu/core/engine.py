@@ -139,6 +139,15 @@ class Engine:
         self._tot = None
         self.M_mat = self._build_M_matrix()
         self.trace_sums = None
+        # Cumulative per-phase wall time (seconds). host_read_s and
+        # stage_s run on the prefetch thread overlapped with device
+        # compute, so they don't sum to the precompute wall time; their
+        # ratio to it shows what the pass is bound by (see
+        # docs/design/perf.md "Transfer bound in this environment").
+        self.phase_times: dict[str, float] = {}
+
+    def _phase_add(self, name: str, dt: float):
+        self.phase_times[name] = self.phase_times.get(name, 0.0) + dt
 
     # ------------------------------------------------------------------ setup
     def _hbm_budget(self) -> float:
@@ -471,7 +480,9 @@ class Engine:
         np_dt = np.float32 if self.dtype != jnp.float64 else np.float64
         buf, j0 = [], 0
         for j in range(self.J):
+            t0 = time.perf_counter()
             geno, fill, mode = self._load_block(j)
+            self._phase_add("host_read_s", time.perf_counter() - t0)
             assert mode == "pallas"
             s, e = self._block_range(j)
             annot_pad = np.zeros((geno.shape[0], self.K), np_dt)
@@ -507,10 +518,14 @@ class Engine:
 
         def stage(item):
             j0, buf = item
-            return (j0, len(buf),
-                    jax.device_put(np.stack([b[0] for b in buf]), self._dev),
-                    jax.device_put(np.stack([b[1] for b in buf]), self._dev),
-                    jax.device_put(np.stack([b[2] for b in buf]), self._dev))
+            t0 = time.perf_counter()
+            out = (j0, len(buf),
+                   jax.device_put(np.stack([b[0] for b in buf]), self._dev),
+                   jax.device_put(np.stack([b[1] for b in buf]), self._dev),
+                   jax.device_put(np.stack([b[2] for b in buf]), self._dev))
+            jax.block_until_ready(out[2:])   # count transfer, not enqueue
+            self._phase_add("stage_s", time.perf_counter() - t0)
+            return out
 
         tot_X = jnp.zeros((self.E_geno, self.N_work, self.b2), self.dtype)
         tot_y = jnp.zeros((self.E_geno, max(self.T_traits, 0)), self.dtype)
@@ -528,9 +543,11 @@ class Engine:
                     nxt = ex.submit(stage, next(it))
                 except StopIteration:
                     pass
+                t0 = time.perf_counter()
                 (tot_X, tot_y), ys = run(packed_s, fill_s, annot_s,
                                          tot_X, tot_y, self.P, env_arg,
                                          self.valid_mask)
+                self._phase_add("scan_dispatch_s", time.perf_counter() - t0)
                 self.log._debug(f"chunk at block {j0} (+{C}) done")
                 yield (j0, C, ys[0] if keep else None,
                        ys[1] if keep else None, tot_X, tot_y)

@@ -51,7 +51,7 @@ def main():
 
     if not os.path.exists(prefix + ".bed"):
         t0 = time.time()
-        if args.N * args.M > 10**9:   # biobank scale: one-pass synthesis
+        if args.N * args.M > 10**8:   # large scale: one-pass synthesis
             synth.make_dataset_fast(prefix, args.N, args.M, [0.3], seed=9,
                                     missing_rate=0.01)
         else:
@@ -97,6 +97,10 @@ def main():
         "backend": jax.devices()[0].platform,
         "sigma": np.round(st, 5).tolist(),
         "phases_s": {k: round(v, 2) for k, v in times.items()},
+        # overlapped sub-phases (prefetch thread): host .bed read+clean,
+        # host->device staging incl. transfer sync, device scan dispatch
+        "engine_phases_s": {k: round(v, 2)
+                            for k, v in eng.phase_times.items()},
     }))
 
 
