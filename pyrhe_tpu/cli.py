@@ -91,6 +91,12 @@ def build_parser():
     parser.add_argument('--profile_dir', type=str, default=None,
                         help='write a JAX profiler trace (view with '
                              'TensorBoard/XProf) for the estimation run')
+    parser.add_argument('--checkpoint_dir', type=str, default=None,
+                        help='directory for crash-safe resume snapshots; '
+                             'a rerun with the same config resumes from '
+                             'the last completed block')
+    parser.add_argument('--checkpoint_every', type=int, default=1,
+                        help='snapshot cadence in jackknife blocks/chunks')
     parser.add_argument('--config', type=str, help='configuration file path')
     return parser
 
@@ -159,6 +165,8 @@ def main(args):
         'log': log,
         'dtype': args.dtype,
         'streaming': args.streaming,
+        'checkpoint_dir': args.checkpoint_dir,
+        'checkpoint_every': args.checkpoint_every,
     }
 
     if args.model == "rhe":

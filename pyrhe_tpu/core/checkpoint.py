@@ -1,0 +1,174 @@
+"""Crash-safe checkpoint/resume for the estimation pipeline.
+
+The reference has NO mid-run recovery (SURVEY §5: worker failure kills the
+whole job, `mp_handler.py:39-50`; the closest artifacts are the .tr/.MN
+sumstat exports). At biobank scale a precompute pass is hours of wall
+clock, so this module adds what production deployment actually needs:
+periodic, atomic snapshots of the pipeline state that a fresh process can
+resume from bit-exactly.
+
+Layout of a checkpoint directory (all writes are tmp-file + os.replace,
+and `meta.json` — the commit record — is always written LAST, so a crash
+mid-save leaves the previous consistent state):
+
+  meta.json            magic, config/data fingerprint, phase, next_j
+  totals.npz           running (tot_XXP, tot_y) accumulators
+  block_<j>.npz        per-block stats cache entries   (non-streaming)
+  chunk_<j0>.npz       per-chunk stats cache entries   (non-streaming,
+                                                         chunked path)
+  assemble.npz         partial (T, q) samples          (streaming pass 2)
+  results.npz          final float64 (T_all, q_all)    (phase "done")
+
+Phases advance precompute -> assemble -> done; `next_j` is the first
+jackknife block NOT yet covered by the stored state for the current
+phase. Resume validates a fingerprint of everything that shapes the
+numerics (dataset shapes + .bed identity, J/B/K, dtype, seed, model,
+streaming/pallas modes); a mismatch starts fresh after clearing OUR
+files (only files matching the names above are ever touched).
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import numpy as np
+
+_MAGIC = "pyrhe_tpu-checkpoint-v1"
+_OURS = re.compile(
+    r"^(meta\.json|totals\.npz|assemble\.npz|results\.npz|"
+    r"block_\d+\.npz|chunk_\d+\.npz)$")
+
+
+def _atomic_save_npz(path: str, **arrays) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+
+
+class Checkpoint:
+    def __init__(self, directory: str, fingerprint: dict, log=None):
+        self.dir = directory
+        self.fingerprint = fingerprint
+        self.log = log
+        os.makedirs(directory, exist_ok=True)
+        self._meta = self._read_meta()
+
+    # ---------------------------------------------------------------- meta
+    def _path(self, name: str) -> str:
+        return os.path.join(self.dir, name)
+
+    def _read_meta(self):
+        """Load and validate meta.json; on any mismatch, clear our files
+        and start fresh (returns None)."""
+        path = self._path("meta.json")
+        if not os.path.exists(path):
+            return None
+        try:
+            with open(path) as f:
+                meta = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            meta = {}
+        if (meta.get("magic") != _MAGIC
+                or meta.get("fingerprint") != self.fingerprint):
+            if self.log is not None:
+                self.log._log(
+                    f"Note: checkpoint in {self.dir} does not match this "
+                    "run's configuration/dataset; starting fresh")
+            self.reset()
+            return None
+        return meta
+
+    def reset(self) -> None:
+        """Remove every file this module could have written (and nothing
+        else — the directory may be shared)."""
+        for name in os.listdir(self.dir):
+            if _OURS.match(name):
+                os.remove(self._path(name))
+        self._meta = None
+
+    def state(self):
+        """(phase, next_j) of the stored state, or None if starting fresh."""
+        if self._meta is None:
+            return None
+        return self._meta["phase"], int(self._meta["next_j"])
+
+    def commit(self, phase: str, next_j: int) -> None:
+        """Atomically record that all data files for `phase` up to block
+        `next_j` are on disk. Call AFTER the data-file saves."""
+        meta = {"magic": _MAGIC, "fingerprint": self.fingerprint,
+                "phase": phase, "next_j": int(next_j)}
+        tmp = self._path("meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._path("meta.json"))
+        self._meta = meta
+
+    # ------------------------------------------------------------- payloads
+    # Data files are SELF-DESCRIBING (they carry their own next_j) because
+    # a crash between a data save and the meta commit leaves the file one
+    # interval AHEAD of meta; resume trusts the file's next_j (its content
+    # matches it by construction — block/chunk files are saved before the
+    # totals that cover them), while meta gates fingerprint and phase.
+    def save_totals(self, tot_XXP, tot_y, next_j: int) -> None:
+        _atomic_save_npz(self._path("totals.npz"),
+                         tot_XXP=np.asarray(tot_XXP),
+                         tot_y=np.asarray(tot_y), next_j=np.int64(next_j))
+
+    def load_totals(self):
+        """(tot_XXP, tot_y, next_j), or None if no totals were saved."""
+        path = self._path("totals.npz")
+        if not os.path.exists(path):
+            return None
+        with np.load(path) as z:
+            return z["tot_XXP"], z["tot_y"], int(z["next_j"])
+
+    def save_block(self, j: int, XXP, yXXy) -> None:
+        _atomic_save_npz(self._path(f"block_{j:06d}.npz"),
+                         XXP=np.asarray(XXP), yXXy=np.asarray(yXXy))
+
+    def load_blocks(self, upto: int) -> dict:
+        """{j: (XXP, yXXy)} as host arrays for all blocks < upto."""
+        out = {}
+        for j in range(upto):
+            with np.load(self._path(f"block_{j:06d}.npz")) as z:
+                out[j] = (z["XXP"], z["yXXy"])
+        return out
+
+    def save_chunk(self, j0: int, C: int, Xs, Ys) -> None:
+        _atomic_save_npz(self._path(f"chunk_{j0:06d}.npz"),
+                         j0=np.int64(j0), C=np.int64(C),
+                         Xs=np.asarray(Xs), Ys=np.asarray(Ys))
+
+    def load_chunks(self, upto: int) -> list:
+        """[(j0, C, Xs, Ys)] covering blocks [0, upto), in order."""
+        chunks, j = [], 0
+        while j < upto:
+            with np.load(self._path(f"chunk_{j:06d}.npz")) as z:
+                C = int(z["C"])
+                chunks.append((j, C, z["Xs"], z["Ys"]))
+            j += C
+        return chunks
+
+    def save_assemble(self, T_part, q_part, next_j: int) -> None:
+        _atomic_save_npz(self._path("assemble.npz"),
+                         T=np.asarray(T_part), q=np.asarray(q_part),
+                         next_j=np.int64(next_j))
+
+    def load_assemble(self):
+        """(T_part, q_part, next_j), or None if nothing was saved."""
+        path = self._path("assemble.npz")
+        if not os.path.exists(path):
+            return None
+        with np.load(path) as z:
+            return z["T"], z["q"], int(z["next_j"])
+
+    def save_results(self, T_all, q_all) -> None:
+        _atomic_save_npz(self._path("results.npz"),
+                         T_all=np.asarray(T_all, np.float64),
+                         q_all=np.asarray(q_all, np.float64))
+
+    def load_results(self):
+        with np.load(self._path("results.npz")) as z:
+            return z["T_all"], z["q_all"]

@@ -20,6 +20,7 @@ extra probe column, so T is computed once and only q differs per trait.
 """
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -85,6 +86,9 @@ class RunConfig:
     mm_mode: str = "auto"           # auto | exact | split2 | bf16
     use_pallas: object = "auto"     # auto | True | False — fused
                                     # decode+matmul kernels (TPU only)
+    checkpoint_dir: str | None = None   # crash-safe resume snapshots
+                                        # (core/checkpoint.py); None = off
+    checkpoint_every: int = 1       # snapshot cadence, in blocks/chunks
 
 
 _DTYPES = {"float32": jnp.float32, "float64": jnp.float64,
@@ -132,6 +136,11 @@ class Engine:
                 " exceeds the device memory budget; using streaming"
                 " (two-pass) mode")
             self.cfg = cfg = RunConfig(**{**cfg.__dict__, "streaming": True})
+        self._ckpt = None
+        if cfg.checkpoint_dir:
+            from .checkpoint import Checkpoint
+            self._ckpt = Checkpoint(cfg.checkpoint_dir, self._fingerprint(),
+                                    self.log)
         self._build_static_arrays()
         self._cache: dict[int, tuple] = {}
         self._chunk_cache: list = []
@@ -148,6 +157,46 @@ class Engine:
 
     def _phase_add(self, name: str, dt: float):
         self.phase_times[name] = self.phase_times.get(name, 0.0) + dt
+
+    def _fingerprint(self) -> dict:
+        """Everything that shapes the checkpointed numerics: dataset
+        identity/shapes, estimation hyperparameters, dtype/kernel modes.
+        A stored checkpoint whose fingerprint differs is discarded."""
+        bed = self.data.bed
+        path = getattr(bed, "path", None)
+        try:
+            size = os.path.getsize(path) if path else None
+        except OSError:
+            size = None
+        return {
+            "bed": [str(path), size],
+            "num_snp": int(self.data.num_snp),
+            "num_indv": int(self.data.num_indv),
+            "J": self.J, "B": self.B, "K": self.K,
+            "E_geno": self.E_geno, "num_nxe": self.num_nxe,
+            "b2": self.b2, "T_traits": self.T_traits,
+            "seed": self.cfg.seed, "dtype": self.cfg.dtype,
+            "mm_mode": self.mm_mode,
+            "model": self.spec.model, "genie_model": self.spec.genie_model,
+            "streaming": self.cfg.streaming,
+            "impute": self.cfg.geno_impute_method,
+            "pallas": bool(self.use_pallas), "N_work": int(self.N_work),
+            # content hash: the probe matrix embeds the residualized
+            # phenotype, and the annot drives bin masking — a run whose
+            # pheno/cov/env/annot changed (same shapes) must NOT resume
+            "aux_sha": self._aux_sha(),
+        }
+
+    def _aux_sha(self) -> str:
+        import hashlib
+        h = hashlib.sha256()
+        for arr in (self.data.pheno, self.data.cov, self.data.env,
+                    self.data.annot):
+            if arr is not None:
+                a = np.ascontiguousarray(np.asarray(arr, np.float64))
+                h.update(str(a.shape).encode())
+                h.update(a.tobytes())
+        return h.hexdigest()[:16]
 
     # ------------------------------------------------------------------ setup
     def _hbm_budget(self) -> float:
@@ -421,18 +470,78 @@ class Engine:
         if self.use_pallas and self.J > 1:
             self._precompute_chunked()
         else:
+            self._precompute_blocks()
+        self.log._debug(f"Precompute total time: {time.time() - t0}")
+
+    def _ckpt_precompute_state(self, chunked: bool):
+        """Resume bookkeeping for pass 1. Returns (start_j, host totals or
+        None). start_j == J means pass 1 is already complete: totals are
+        installed and (non-streaming) the stats cache is reloaded.
+
+        start_j comes from totals.npz itself, NOT meta: a crash between
+        the totals save and the meta commit leaves the file one interval
+        ahead, and its own next_j is what its content covers."""
+        if self._ckpt is None:
+            return 0, None
+        st = self._ckpt.state()
+        if st is None:
+            return 0, None
+        ld = self._ckpt.load_totals()
+        if ld is None:
+            return 0, None
+        tot = (ld[0], ld[1])
+        phase, _ = st
+        start_j = self.J if phase in ("assemble", "done") else ld[2]
+        if start_j <= 0:
+            return 0, None
+        self.log._log(
+            f"Resuming precompute from checkpoint: {start_j}/{self.J} "
+            f"jackknife blocks already covered ({self.cfg.checkpoint_dir})")
+        if not self.cfg.streaming:
+            if chunked:
+                self._chunk_cache = [
+                    (j0, C, jax.device_put(jnp.asarray(Xs, self.dtype),
+                                           self._dev),
+                     jax.device_put(jnp.asarray(Ys, self.dtype), self._dev))
+                    for j0, C, Xs, Ys in self._ckpt.load_chunks(start_j)]
+            else:
+                self._cache = self._ckpt.load_blocks(start_j)
+        return start_j, tot
+
+    def _put_tot(self, tot):
+        return tuple(jax.device_put(jnp.asarray(a, self.dtype), self._dev)
+                     for a in tot)
+
+    def _precompute_blocks(self):
+        """Per-block pass 1 (local backends, where dispatch is cheap)."""
+        start_j, tot = self._ckpt_precompute_state(chunked=False)
+        if tot is not None:
+            tot_XXP, tot_y = self._put_tot(tot)
+        else:
             tot_XXP = jnp.zeros((self.E_geno, self.N_work, self.b2),
                                 self.dtype)
             tot_y = jnp.zeros((self.E_geno, max(self.T_traits, 0)),
                               self.dtype)
-            for j, (XXP, yXXy, _) in self._prefetched_blocks(range(self.J)):
-                tot_XXP = tot_XXP + XXP
-                tot_y = tot_y + yXXy
-                if not self.cfg.streaming:
-                    self._cache[j] = (XXP, yXXy)
-                self.log._debug(f"jackknife {j} precompute done")
-            self._tot = (tot_XXP, tot_y)
-        self.log._debug(f"Precompute total time: {time.time() - t0}")
+        self._tot = (tot_XXP, tot_y)
+        if start_j >= self.J:
+            return
+        every = max(1, self.cfg.checkpoint_every)
+        for j, (XXP, yXXy, _) in self._prefetched_blocks(
+                range(start_j, self.J)):
+            tot_XXP = tot_XXP + XXP
+            tot_y = tot_y + yXXy
+            if not self.cfg.streaming:
+                self._cache[j] = (XXP, yXXy)
+                if self._ckpt:
+                    self._ckpt.save_block(j, XXP, yXXy)
+            if self._ckpt and (j + 1 - start_j) % every == 0:
+                self._ckpt.save_totals(tot_XXP, tot_y, j + 1)
+                self._ckpt.commit("precompute", j + 1)
+            self.log._debug(f"jackknife {j} precompute done")
+        self._tot = (tot_XXP, tot_y)
+        if self._ckpt:
+            self._ckpt.save_totals(tot_XXP, tot_y, self.J)
+            self._ckpt.commit("assemble", 0)
 
     def _chunk_scan_fn(self, keep_blocks: bool):
         """Jitted: scan block_stats over a stacked chunk of equal-size
@@ -473,13 +582,15 @@ class Engine:
         self._scan_fns[keep_blocks] = run
         return run
 
-    def _iter_chunks(self, chunk: int):
+    def _iter_chunks(self, chunk: int, start_j: int = 0):
         """Yield (j0, packed (C,m_pad,nb), fill (C,m_pad), annot (C,m_pad,K))
         stacked host chunks; the uneven last block (larger m_pad) comes out
-        as its own chunk of 1."""
+        as its own chunk of 1. start_j must be a chunk boundary from a
+        previous identical iteration (checkpoints only commit at chunk
+        boundaries), so resumed chunk boundaries reproduce exactly."""
         np_dt = np.float32 if self.dtype != jnp.float64 else np.float64
-        buf, j0 = [], 0
-        for j in range(self.J):
+        buf, j0 = [], start_j
+        for j in range(start_j, self.J):
             t0 = time.perf_counter()
             geno, fill, mode = self._load_block(j)
             self._phase_add("host_read_s", time.perf_counter() - t0)
@@ -506,11 +617,13 @@ class Engine:
         return (self.envd if self.data.num_env else
                 jnp.zeros((self.N_work, 1), self.dtype))
 
-    def _chunked_stats_stream(self, keep: bool):
+    def _chunked_stats_stream(self, keep: bool, start_j: int = 0,
+                              init_tot=None):
         """Yield (j0, n_real, Xs, Ys, tot_X, tot_y) per chunk with host
         read+clean+stack prefetched one chunk ahead and totals carried on
         device (Xs/Ys are None when not keep). The LAST yielded totals are
-        the grand totals."""
+        the grand totals. start_j/init_tot resume a checkpointed pass from
+        a chunk boundary with restored accumulators."""
         from concurrent.futures import ThreadPoolExecutor
 
         run = self._chunk_scan_fn(keep)
@@ -527,9 +640,14 @@ class Engine:
             self._phase_add("stage_s", time.perf_counter() - t0)
             return out
 
-        tot_X = jnp.zeros((self.E_geno, self.N_work, self.b2), self.dtype)
-        tot_y = jnp.zeros((self.E_geno, max(self.T_traits, 0)), self.dtype)
-        it = self._iter_chunks(self._chunk_size())
+        if init_tot is not None:
+            tot_X, tot_y = self._put_tot(init_tot)
+        else:
+            tot_X = jnp.zeros((self.E_geno, self.N_work, self.b2),
+                              self.dtype)
+            tot_y = jnp.zeros((self.E_geno, max(self.T_traits, 0)),
+                              self.dtype)
+        it = self._iter_chunks(self._chunk_size(), start_j)
         with ThreadPoolExecutor(max_workers=1) as ex:
             nxt = None
             try:
@@ -555,10 +673,27 @@ class Engine:
     def _precompute_chunked(self):
         self._chunk_cache = []
         keep = not self.cfg.streaming
-        for j0, C, Xs, Ys, tot_X, tot_y in self._chunked_stats_stream(keep):
+        start_j, tot = self._ckpt_precompute_state(chunked=True)
+        if tot is not None:
+            self._tot = self._put_tot(tot)
+        if start_j >= self.J:
+            return
+        every = max(1, self.cfg.checkpoint_every)
+        n_chunks = 0
+        for j0, C, Xs, Ys, tot_X, tot_y in self._chunked_stats_stream(
+                keep, start_j=start_j, init_tot=tot):
             if keep:
                 self._chunk_cache.append((j0, C, Xs, Ys))
+                if self._ckpt:
+                    self._ckpt.save_chunk(j0, C, Xs, Ys)
             self._tot = (tot_X, tot_y)
+            n_chunks += 1
+            if self._ckpt and n_chunks % every == 0:
+                self._ckpt.save_totals(tot_X, tot_y, j0 + C)
+                self._ckpt.commit("precompute", j0 + C)
+        if self._ckpt:
+            self._ckpt.save_totals(*self._tot, self.J)
+            self._ckpt.commit("assemble", 0)
 
     # --------------------------------------------------------------- assembly
     def _loo_stats(self, j: int, block=None):
@@ -594,9 +729,32 @@ class Engine:
         else:
             self._assemble_per_sample()
         self.log._debug(f"Assemble total time: {time.time() - t0}")
+        if self._ckpt:
+            self._ckpt.save_results(self.T_all, self.q_all)
+            self._ckpt.commit("done", self.J)
         if self.cfg.get_trace:
             self.trace_sums = self._compute_trace_sums()
         return self.T_all, self.q_all
+
+    def _ckpt_assemble_state(self, Ts: list, qs: list) -> int:
+        """Resume bookkeeping for the streaming pass 2: loads the partial
+        (T, q) samples into Ts/qs and returns the first block to
+        recompute."""
+        if self._ckpt is None:
+            return 0
+        st = self._ckpt.state()
+        if st is None or st[0] not in ("assemble", "done"):
+            return 0
+        ld = self._ckpt.load_assemble()
+        if ld is None:
+            return 0
+        T_part, q_part, next_j = ld
+        Ts.append(jnp.asarray(T_part, self.dtype))
+        qs.append(jnp.asarray(q_part, self.dtype))
+        self.log._log(
+            f"Resuming assemble from checkpoint: {next_j}/{self.J} "
+            "jackknife samples already built")
+        return next_j
 
     def _assemble_args(self):
         tot_XXP, tot_y = self._tot
@@ -629,7 +787,11 @@ class Engine:
                 qs.append(q)
         else:
             # streaming: one dispatch per recomputed chunk, O(chunk) memory
-            for j0, C, Xs, Ys, _, _ in self._chunked_stats_stream(True):
+            start_j = self._ckpt_assemble_state(Ts, qs)
+            every = max(1, self.cfg.checkpoint_every)
+            n_chunks = 0
+            for j0, C, Xs, Ys, _, _ in self._chunked_stats_stream(
+                    True, start_j=start_j):
                 T, q = assemble_Tq_chunk(
                     tot_XXP, tot_y, Xs, Ys,
                     jnp.asarray(self.M_mat[j0:j0 + C]), nxe_XXP, nxe_y,
@@ -637,6 +799,11 @@ class Engine:
                     self.q_last, self.stoch_mask, **kw)
                 Ts.append(T)
                 qs.append(q)
+                n_chunks += 1
+                if self._ckpt and n_chunks % every == 0:
+                    self._ckpt.save_assemble(jnp.concatenate(Ts),
+                                             jnp.concatenate(qs), j0 + C)
+                    self._ckpt.commit("assemble", j0 + C)
         # sample J = full data: a zero block (total - 0)
         T, q = assemble_Tq_chunk(
             tot_XXP, tot_y, jnp.zeros((1,) + tot_XXP.shape, self.dtype),
@@ -651,11 +818,25 @@ class Engine:
 
     def _assemble_per_sample(self):
         """Per-sample loop (local backends, where dispatch is cheap)."""
+        Ts, qs = [], []
+        start_j = 0
+        if self.cfg.streaming and self._ckpt:
+            st = self._ckpt.state()
+            ld = (self._ckpt.load_assemble()
+                  if st is not None and st[0] in ("assemble", "done")
+                  else None)
+            if ld is not None and ld[2] > 0:
+                T_part, q_part, start_j = ld
+                Ts.extend(jnp.asarray(T_part, self.dtype))
+                qs.extend(jnp.asarray(q_part, self.dtype))
+                self.log._log(
+                    f"Resuming assemble from checkpoint: {start_j}/"
+                    f"{self.J} jackknife samples already built")
         blocks = iter(())
         if self.cfg.streaming:
-            blocks = self._prefetched_blocks(range(self.J))
-        Ts, qs = [], []
-        for j in range(self.J + 1):
+            blocks = self._prefetched_blocks(range(start_j, self.J))
+        every = max(1, self.cfg.checkpoint_every)
+        for j in range(start_j, self.J + 1):
             blk = None
             if self.cfg.streaming and j < self.J:
                 _, blk = next(blocks)
@@ -669,6 +850,11 @@ class Engine:
             )
             Ts.append(T)
             qs.append(q)
+            if (self.cfg.streaming and self._ckpt and j < self.J
+                    and (j + 1 - start_j) % every == 0):
+                self._ckpt.save_assemble(jnp.stack(Ts), jnp.stack(qs),
+                                         j + 1)
+                self._ckpt.commit("assemble", j + 1)
         self.T_all = np.asarray(jnp.stack(Ts), dtype=np.float64)
         self.q_all = np.asarray(jnp.stack(qs), dtype=np.float64)
 
@@ -690,6 +876,10 @@ class Engine:
         from ..parallel.mesh import make_mesh
         from ..parallel.sharded import ShardedRunner
 
+        if self._ckpt is not None:
+            self.log._log(
+                "Note: checkpoint/resume is not supported on the sharded "
+                "path yet; running without snapshots")
         mesh = mesh or make_mesh()
         runner = ShardedRunner(self, mesh)
         self.T_all, self.q_all = runner.run()
@@ -783,6 +973,16 @@ class Engine:
 
     # -------------------------------------------------------------- estimate
     def run_precompute_and_assemble(self):
+        if self._ckpt:
+            st = self._ckpt.state()
+            if st is not None and st[0] == "done":
+                self.T_all, self.q_all = self._ckpt.load_results()
+                self.log._log(
+                    "Resumed completed (T, q) from checkpoint "
+                    f"({self.cfg.checkpoint_dir}); skipping both passes")
+                if self.cfg.get_trace:
+                    self.trace_sums = self._compute_trace_sums()
+                return
         self.precompute()
         self.assemble()
 

@@ -54,6 +54,8 @@ class BaseModel:
         log: Logger | None = None,
         dtype: str = None,
         streaming: bool | None = None,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 1,
     ):
         self.log = log or Logger(debug_mode=False)
         seed = 0 if seed is None else int(seed)
@@ -102,6 +104,8 @@ class BaseModel:
             get_trace=get_trace,
             trace_dir=trace_dir,
             device=device,
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every,
         )
         self.engine = Engine(self.data, self.spec, self.cfg, self.log)
         self._computed = False

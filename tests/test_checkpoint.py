@@ -1,0 +1,201 @@
+"""Crash-safe checkpoint/resume (core/checkpoint.py + engine wiring).
+
+Every test compares a resumed run bit-for-bit against an uncheckpointed
+run of the same configuration: snapshots store exact host copies of the
+accumulators and resumption replays the remaining blocks in the same
+order, so no tolerance is needed. Crashes are simulated by raising from
+the checkpoint's commit hook — commit is the last step of every save, so
+this exercises the torn-state window the atomic protocol must survive.
+"""
+import numpy as np
+import pytest
+
+from pyrhe_tpu.core.data import load_dataset
+from pyrhe_tpu.core.engine import Engine, ModelSpec, RunConfig
+
+
+def make_engine(ds, ckpt_dir=None, streaming=False, use_pallas=False, J=8,
+                B=4, dtype="float64", every=1, seed=7):
+    data = load_dataset(ds["prefix"], annot_file=ds["annot1_path"],
+                        pheno_file=ds["pheno_path"], num_random_vec=B,
+                        seed=seed)
+    spec = ModelSpec.build("rhe", "G", data.num_env)
+    cfg = RunConfig(num_random_vec=B, num_jack=J, seed=seed,
+                    geno_impute_method="binary",
+                    dtype=("float32" if use_pallas else dtype),
+                    mm_mode=("exact" if use_pallas else "auto"),
+                    streaming=streaming, use_pallas=use_pallas,
+                    checkpoint_dir=ckpt_dir, checkpoint_every=every)
+    return Engine(data, spec, cfg)
+
+
+def crash_commit_after(eng, n_allowed=None, phase_at=None):
+    """Replace the engine checkpoint's commit with one that raises after
+    n_allowed successful commits (or when a specific (phase, next_j)
+    commit is attempted), leaving the last committed state intact."""
+    real = eng._ckpt.commit
+    seen = {"n": 0}
+
+    def crasher(phase, next_j):
+        if phase_at is not None and (phase, next_j) == phase_at:
+            raise RuntimeError("simulated crash")
+        if n_allowed is not None and seen["n"] >= n_allowed:
+            raise RuntimeError("simulated crash")
+        seen["n"] += 1
+        real(phase, next_j)
+
+    eng._ckpt.commit = crasher
+
+
+def spy_loads(eng):
+    loaded = []
+    orig = eng._load_block
+
+    def spy(j, raw=False):
+        loaded.append(j)
+        return orig(j, raw)
+
+    eng._load_block = spy
+    return loaded
+
+
+def test_done_resume_reads_nothing(small_dataset, tmp_path):
+    ck = str(tmp_path / "ck")
+    base = make_engine(small_dataset)
+    base.run_precompute_and_assemble()
+    eng = make_engine(small_dataset, ck)
+    eng.run_precompute_and_assemble()
+    np.testing.assert_array_equal(eng.T_all, base.T_all)
+
+    eng2 = make_engine(small_dataset, ck)
+
+    def boom(j, raw=False):
+        raise AssertionError("resume from phase done must not touch .bed")
+
+    eng2._load_block = boom
+    eng2.run_precompute_and_assemble()
+    np.testing.assert_array_equal(eng2.T_all, base.T_all)
+    np.testing.assert_array_equal(eng2.q_all, base.q_all)
+    sj2, st2 = eng2.estimate(0)
+    sjb, stb = base.estimate(0)
+    np.testing.assert_array_equal(st2, stb)
+    np.testing.assert_array_equal(sj2, sjb)
+
+
+def test_crash_mid_precompute_blocks_path(small_dataset, tmp_path):
+    ck = str(tmp_path / "ck")
+    base = make_engine(small_dataset)
+    base.run_precompute_and_assemble()
+
+    eng = make_engine(small_dataset, ck)
+    crash_commit_after(eng, n_allowed=3)   # 3 block commits, then crash
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eng.run_precompute_and_assemble()
+
+    eng2 = make_engine(small_dataset, ck)
+    loaded = spy_loads(eng2)
+    eng2.run_precompute_and_assemble()
+    # the crash hit the j=3 COMMIT, after totals.npz (covering 0..3) was
+    # saved: the self-describing totals let resume skip block 3 too
+    assert min(loaded) == 4, "blocks 0-3 were checkpointed, must be skipped"
+    np.testing.assert_array_equal(eng2.T_all, base.T_all)
+    np.testing.assert_array_equal(eng2.q_all, base.q_all)
+
+
+def test_crash_mid_assemble_streaming(small_dataset, tmp_path):
+    ck = str(tmp_path / "ck")
+    base = make_engine(small_dataset, streaming=True)
+    base.run_precompute_and_assemble()
+
+    eng = make_engine(small_dataset, ck, streaming=True)
+    crash_commit_after(eng, phase_at=("assemble", 4))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eng.run_precompute_and_assemble()
+    assert eng._ckpt.state() is not None  # partial assemble state on disk
+
+    eng2 = make_engine(small_dataset, ck, streaming=True)
+    loaded = spy_loads(eng2)
+    eng2.run_precompute_and_assemble()
+    # precompute totals were final: only assemble re-reads, from sample 4
+    # on (assemble.npz covering 0..3 was saved before the crashing commit)
+    assert min(loaded) == 4
+    np.testing.assert_array_equal(eng2.T_all, base.T_all)
+    np.testing.assert_array_equal(eng2.q_all, base.q_all)
+
+
+def test_fingerprint_mismatch_starts_fresh(small_dataset, tmp_path):
+    ck = str(tmp_path / "ck")
+    eng = make_engine(small_dataset, ck)
+    eng.run_precompute_and_assemble()
+
+    base8 = make_engine(small_dataset, seed=8)
+    base8.run_precompute_and_assemble()
+    eng2 = make_engine(small_dataset, ck, seed=8)   # different seed
+    assert eng2._ckpt.state() is None, "stale checkpoint must be discarded"
+    eng2.run_precompute_and_assemble()
+    np.testing.assert_array_equal(eng2.T_all, base8.T_all)
+
+
+def test_crash_mid_precompute_chunked_pallas(small_dataset, tmp_path,
+                                             monkeypatch):
+    ck = str(tmp_path / "ck")
+    monkeypatch.setattr(Engine, "_chunk_size", lambda self: 2)
+    base = make_engine(small_dataset, use_pallas=True, J=6)
+    assert base.use_pallas
+    base.run_precompute_and_assemble()
+
+    eng = make_engine(small_dataset, ck, use_pallas=True, J=6)
+    crash_commit_after(eng, n_allowed=1)   # first chunk committed, then die
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eng.run_precompute_and_assemble()
+    assert eng._ckpt.state() == ("precompute", 2)
+
+    eng2 = make_engine(small_dataset, ck, use_pallas=True, J=6)
+    loaded = spy_loads(eng2)
+    eng2.run_precompute_and_assemble()
+    # crash hit the second chunk's commit AFTER its data files were saved:
+    # resume trusts the self-describing totals and skips chunks [0,4)
+    assert min(loaded) == 4, "chunks [0,4) were checkpointed, must be skipped"
+    np.testing.assert_array_equal(eng2.T_all, base.T_all)
+    np.testing.assert_array_equal(eng2.q_all, base.q_all)
+
+
+def test_crash_mid_assemble_streaming_chunked(small_dataset, tmp_path,
+                                              monkeypatch):
+    ck = str(tmp_path / "ck")
+    monkeypatch.setattr(Engine, "_chunk_size", lambda self: 2)
+    base = make_engine(small_dataset, use_pallas=True, streaming=True, J=4)
+    base.run_precompute_and_assemble()
+
+    eng = make_engine(small_dataset, ck, use_pallas=True, streaming=True,
+                      J=4)
+    crash_commit_after(eng, phase_at=("assemble", 2))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eng.run_precompute_and_assemble()
+    assert eng._ckpt.state() == ("assemble", 0)
+
+    eng2 = make_engine(small_dataset, ck, use_pallas=True, streaming=True,
+                       J=4)
+    loaded = spy_loads(eng2)
+    eng2.run_precompute_and_assemble()
+    assert min(loaded) == 2
+    np.testing.assert_array_equal(eng2.T_all, base.T_all)
+    np.testing.assert_array_equal(eng2.q_all, base.q_all)
+
+
+def test_pheno_change_invalidates_checkpoint(small_dataset, tmp_path):
+    """simulate_pheno-style phenotype swaps (same shapes) must not reuse
+    stale totals: the fingerprint hashes pheno/cov/env/annot content."""
+    ck = str(tmp_path / "ck")
+    data = load_dataset(small_dataset["prefix"],
+                        annot_file=small_dataset["annot1_path"],
+                        pheno_file=small_dataset["pheno_path"],
+                        num_random_vec=4, seed=7)
+    spec = ModelSpec.build("rhe", "G", data.num_env)
+    cfg = RunConfig(num_random_vec=4, num_jack=8, seed=7, dtype="float64",
+                    checkpoint_dir=ck)
+    Engine(data, spec, cfg).run_precompute_and_assemble()
+
+    data.pheno = data.pheno + 1.0    # content change, same shape
+    eng2 = Engine(data, spec, cfg)
+    assert eng2._ckpt.state() is None
