@@ -97,6 +97,9 @@ def build_parser():
                              'the last completed block')
     parser.add_argument('--checkpoint_every', type=int, default=1,
                         help='snapshot cadence in jackknife blocks/chunks')
+    parser.add_argument('--stage_streams', type=int, default=0,
+                        help='concurrent host->device staging transfers; '
+                             '0 = auto (3 on accelerators, 1 on CPU)')
     parser.add_argument('--config', type=str, help='configuration file path')
     return parser
 
@@ -167,6 +170,7 @@ def main(args):
         'streaming': args.streaming,
         'checkpoint_dir': args.checkpoint_dir,
         'checkpoint_every': args.checkpoint_every,
+        'stage_streams': args.stage_streams,
     }
 
     if args.model == "rhe":

@@ -89,6 +89,13 @@ class RunConfig:
     checkpoint_dir: str | None = None   # crash-safe resume snapshots
                                         # (core/checkpoint.py); None = off
     checkpoint_every: int = 1       # snapshot cadence, in blocks/chunks
+    stage_streams: int = 0          # concurrent host->device staging
+                                    # transfers; 0 = auto (3 on
+                                    # accelerators, 1 on CPU). Measured on
+                                    # the tunneled v5e (scripts/
+                                    # bench_staging.py): 1 stream 30 MB/s,
+                                    # 3 streams 39 MB/s — the tunnel's
+                                    # aggregate cap.
 
 
 _DTYPES = {"float32": jnp.float32, "float64": jnp.float64,
@@ -613,6 +620,15 @@ class Engine:
             self.data.num_snp // self.J + self._pl_tm)
         return int(min(self.J, max(1, 256e6 // max(blk_bytes, 1))))
 
+    def _stage_depth(self) -> int:
+        """In-flight staging transfers. A single device_put stream does not
+        saturate a tunneled backend (30 vs 39 MB/s aggregate, measured by
+        scripts/bench_staging.py); 3 concurrent chunk transfers reach the
+        cap. On local backends one-ahead prefetch already suffices."""
+        if self.cfg.stage_streams > 0:
+            return self.cfg.stage_streams
+        return 3 if self._dev.platform != "cpu" else 1
+
     def _env_arg(self):
         return (self.envd if self.data.num_env else
                 jnp.zeros((self.N_work, 1), self.dtype))
@@ -637,7 +653,13 @@ class Engine:
                    jax.device_put(np.stack([b[1] for b in buf]), self._dev),
                    jax.device_put(np.stack([b[2] for b in buf]), self._dev))
             jax.block_until_ready(out[2:])   # count transfer, not enqueue
+            # stage_s sums per-chunk transfer time across the (possibly
+            # concurrent) staging threads — thread-seconds, not wall time;
+            # stage_bytes / wall clock gives the effective staging rate
             self._phase_add("stage_s", time.perf_counter() - t0)
+            self._phase_add("stage_bytes",
+                            float(sum(b[0].nbytes + b[1].nbytes + b[2].nbytes
+                                      for b in buf)))
             return out
 
         if init_tot is not None:
@@ -648,19 +670,25 @@ class Engine:
             tot_y = jnp.zeros((self.E_geno, max(self.T_traits, 0)),
                               self.dtype)
         it = self._iter_chunks(self._chunk_size(), start_j)
-        with ThreadPoolExecutor(max_workers=1) as ex:
-            nxt = None
-            try:
-                nxt = ex.submit(stage, next(it))
-            except StopIteration:
-                pass
-            while nxt is not None:
-                j0, C, packed_s, fill_s, annot_s = nxt.result()
-                nxt = None
-                try:
-                    nxt = ex.submit(stage, next(it))
-                except StopIteration:
-                    pass
+        depth = self._stage_depth()
+        from collections import deque
+        with ThreadPoolExecutor(max_workers=depth) as ex:
+            pending: deque = deque()
+
+            def refill():
+                # keep `depth` chunk transfers in flight; host reads
+                # (next(it)) stay on this thread, the device_put streams
+                # run concurrently on the pool
+                while len(pending) < depth:
+                    try:
+                        pending.append(ex.submit(stage, next(it)))
+                    except StopIteration:
+                        return
+
+            refill()
+            while pending:
+                j0, C, packed_s, fill_s, annot_s = pending.popleft().result()
+                refill()
                 t0 = time.perf_counter()
                 (tot_X, tot_y), ys = run(packed_s, fill_s, annot_s,
                                          tot_X, tot_y, self.P, env_arg,

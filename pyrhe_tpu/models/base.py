@@ -56,6 +56,7 @@ class BaseModel:
         streaming: bool | None = None,
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 1,
+        stage_streams: int = 0,
     ):
         self.log = log or Logger(debug_mode=False)
         seed = 0 if seed is None else int(seed)
@@ -106,6 +107,7 @@ class BaseModel:
             device=device,
             checkpoint_dir=checkpoint_dir,
             checkpoint_every=checkpoint_every,
+            stage_streams=stage_streams,
         )
         self.engine = Engine(self.data, self.spec, self.cfg, self.log)
         self._computed = False

@@ -31,6 +31,7 @@ streaming worker loop base_streaming.py:85-144) — at pod scale:
 """
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 from functools import partial
 
@@ -148,21 +149,63 @@ class ShardedRunner:
     def _stage_superstep(self, s: int, np_dt):
         """Assemble THIS PROCESS's slab for superstep s and build the
         global sharded chunk arrays (D*C leading rows)."""
+        eng = self.eng
         pl = self.plan
+        t0 = time.perf_counter()
         genos, fills, annots = [], [], []
         for r in owned_rows(self.sh_block, pl.D * pl.C):
             g, f, a = self._stage_block(self._row_slot(s, r), np_dt)
             genos.append(g)
             fills.append(f)
             annots.append(a)
+        eng._phase_add("host_read_s", time.perf_counter() - t0)
+        t0 = time.perf_counter()
         mk = partial(jax.make_array_from_process_local_data, self.sh_block)
         gshape = (pl.D * pl.C,)
         gstack = np.stack(genos)
         if self.eng.use_pallas and self.eng.use_word:
             gstack = gstack.view(np.int32)    # 16 codes per int32 lane
-        return (mk(gstack, gshape + gstack.shape[1:]),
-                mk(np.stack(fills), gshape + fills[0].shape),
-                mk(np.stack(annots), gshape + annots[0].shape))
+        out = (mk(gstack, gshape + gstack.shape[1:]),
+               mk(np.stack(fills), gshape + fills[0].shape),
+               mk(np.stack(annots), gshape + annots[0].shape))
+        jax.block_until_ready(out)           # count transfer, not enqueue
+        # thread-seconds across concurrent staging streams (see
+        # Engine._chunked_stats_stream); stage_bytes / wall = effective rate
+        eng._phase_add("stage_s", time.perf_counter() - t0)
+        eng._phase_add("stage_bytes",
+                       float(sum(x.size * x.dtype.itemsize for x in out)))
+        return out
+
+    def _staged_supersteps(self, start_s: int = 0):
+        """Yield (s, staged chunk) for supersteps [start_s, S) with up to
+        `depth` concurrent host->device transfer streams in flight (a
+        single stream does not saturate tunneled links — measured in
+        scripts/bench_staging.py; same design as the sequential engine's
+        chunk pipeline)."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        np_dt = np.float64 if self.eng.dtype == jnp.float64 else np.float32
+        depth = self.eng._stage_depth()
+        steps = iter(range(start_s, self.plan.S))
+        with ThreadPoolExecutor(max_workers=depth) as ex:
+            pending: deque = deque()
+
+            def refill():
+                while len(pending) < depth:
+                    try:
+                        s = next(steps)
+                    except StopIteration:
+                        return
+                    pending.append((s, ex.submit(self._stage_superstep, s,
+                                                 np_dt)))
+
+            refill()
+            while pending:
+                s, fut = pending.popleft()
+                chunk = fut.result()
+                refill()
+                yield s, chunk
 
     def _superstep_M_rows(self, s: int):
         """Sharded leave-one-out M rows for superstep s's slots (padding
@@ -301,11 +344,8 @@ class ShardedRunner:
     def run(self):
         """Execute both passes; returns (T_all, q_all) float64 host arrays
         of shape (J+1, E+1, E+1) / (J+1, E+1, T) on every process."""
-        from concurrent.futures import ThreadPoolExecutor
-
         eng = self.eng
         pl = self.plan
-        np_dt = np.float64 if eng.dtype == jnp.float64 else np.float32
         streaming = bool(eng.cfg.streaming) or self._auto_streaming()
         (stats_step, asm_step, finalize,
          full_sample) = self._build_steps(streaming)
@@ -339,37 +379,31 @@ class ShardedRunner:
             jnp.zeros((pl.D, eng.E_geno, T_traits), eng.dtype),
             self.sh_block)
 
-        # ---- pass 1: supersteps, staging one step ahead -------------------
+        # ---- pass 1: supersteps, concurrent staging streams ---------------
         cache = []
-        with ThreadPoolExecutor(max_workers=1) as ex:
-            nxt = ex.submit(self._stage_superstep, 0, np_dt)
-            for s in range(pl.S):
-                chunk = nxt.result()
-                if s + 1 < pl.S:
-                    nxt = ex.submit(self._stage_superstep, s + 1, np_dt)
-                out = stats_step(*chunk, totX, toty, P_mat, env, mask)
-                totX, toty = out[0], out[1]
-                if not streaming:
-                    cache.append(out[2])
-                del chunk
-                eng.log._debug(f"sharded superstep {s + 1}/{pl.S} done")
+        for s, chunk in self._staged_supersteps():
+            t0 = time.perf_counter()
+            out = stats_step(*chunk, totX, toty, P_mat, env, mask)
+            totX, toty = out[0], out[1]
+            if not streaming:
+                cache.append(out[2])
+            del chunk
+            eng._phase_add("scan_dispatch_s", time.perf_counter() - t0)
+            eng.log._debug(f"sharded superstep {s + 1}/{pl.S} done")
         totX_r, toty_r = finalize(totX, toty)
 
         # ---- pass 2: per-superstep leave-one-out assembly -----------------
         Ts, qs = [], []
         if streaming:
-            with ThreadPoolExecutor(max_workers=1) as ex:
-                nxt = ex.submit(self._stage_superstep, 0, np_dt)
-                for s in range(pl.S):
-                    chunk = nxt.result()
-                    if s + 1 < pl.S:
-                        nxt = ex.submit(self._stage_superstep, s + 1, np_dt)
-                    T_c, q_c = asm_step(*chunk, self._superstep_M_rows(s),
-                                        totX_r, toty_r, *small, P_mat, env,
-                                        mask)
-                    Ts.append(T_c)
-                    qs.append(q_c)
-                    del chunk
+            for s, chunk in self._staged_supersteps():
+                t0 = time.perf_counter()
+                T_c, q_c = asm_step(*chunk, self._superstep_M_rows(s),
+                                    totX_r, toty_r, *small, P_mat, env,
+                                    mask)
+                Ts.append(T_c)
+                qs.append(q_c)
+                del chunk
+                eng._phase_add("scan_dispatch_s", time.perf_counter() - t0)
         else:
             for s in range(pl.S):
                 bX, by = cache[s]
