@@ -31,19 +31,32 @@ from __future__ import annotations
 import json
 import os
 import re
+import zipfile
 
 import numpy as np
 
 _MAGIC = "pyrhe_tpu-checkpoint-v1"
+# everything this module writes, including its own in-flight .tmp names,
+# so reset() after a crash mid-write does not orphan temp files forever
 _OURS = re.compile(
     r"^(meta\.json|totals\.npz|assemble\.npz|results\.npz|"
-    r"block_\d+\.npz|chunk_\d+\.npz)$")
+    r"block_\d+\.npz|chunk_\d+\.npz|shard_\d+_of_\d+\.npz)(\.tmp)?$")
+
+# any way a partially-copied / truncated / power-lossed data file can fail
+# to load — resume must fall back to a fresh start, not crash opaquely
+_LOAD_ERRORS = (OSError, zipfile.BadZipFile, KeyError, ValueError, EOFError)
+
+
+class CheckpointBusy(RuntimeError):
+    """Another live process holds this checkpoint directory's lock."""
 
 
 def _atomic_save_npz(path: str, **arrays) -> None:
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez(f, **arrays)
+        f.flush()
+        os.fsync(f.fileno())   # os.replace alone is not durable
     os.replace(tmp, path)
 
 
@@ -53,7 +66,39 @@ class Checkpoint:
         self.fingerprint = fingerprint
         self.log = log
         os.makedirs(directory, exist_ok=True)
+        self._lock_fd = self._acquire_lock()
+        self._pending: list = []   # staged block/chunk saves (see stage_*)
         self._meta = self._read_meta()
+
+    # fds of directory locks this PROCESS already holds, keyed by realpath:
+    # flock treats a second open in the same process as a conflicting
+    # holder, but sequential resume within one process (run -> resume, or
+    # the test suite) is legitimate — only OTHER live processes must be
+    # excluded. Held for process lifetime; released by the OS on exit.
+    _PROC_LOCKS: dict = {}
+
+    def _acquire_lock(self):
+        """Exclusive advisory lock on the directory: two simultaneous runs
+        sharing one --checkpoint_dir would interleave saves/commits (and a
+        config mismatch in the second would reset() the first's state from
+        under it). flock is released automatically if the holder dies."""
+        path = os.path.join(self.dir, ".lock")
+        key = os.path.realpath(path)
+        if key in Checkpoint._PROC_LOCKS:
+            return Checkpoint._PROC_LOCKS[key]
+        fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            import fcntl
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except ImportError:
+            pass   # non-POSIX: no advisory locking available
+        except OSError:
+            os.close(fd)
+            raise CheckpointBusy(
+                f"checkpoint directory {self.dir} is locked by another "
+                "live run; refusing to share it")
+        Checkpoint._PROC_LOCKS[key] = fd
+        return fd
 
     # ---------------------------------------------------------------- meta
     def _path(self, name: str) -> str:
@@ -96,14 +141,32 @@ class Checkpoint:
 
     def commit(self, phase: str, next_j: int) -> None:
         """Atomically record that all data files for `phase` up to block
-        `next_j` are on disk. Call AFTER the data-file saves."""
+        `next_j` are on disk. Flushes staged block/chunk saves first so a
+        committed meta never points at data files that were not written."""
+        self.flush_pending()
         meta = {"magic": _MAGIC, "fingerprint": self.fingerprint,
                 "phase": phase, "next_j": int(next_j)}
         tmp = self._path("meta.json.tmp")
         with open(tmp, "w") as f:
             json.dump(meta, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, self._path("meta.json"))
         self._meta = meta
+
+    def _load_or_reset(self, loader):
+        """Run a load; on any corruption (missing/truncated data file from
+        a partial directory copy or power loss) log, clear our state, and
+        return the start-fresh sentinel instead of crashing."""
+        try:
+            return loader()
+        except _LOAD_ERRORS as e:
+            if self.log is not None:
+                self.log._log(
+                    f"Note: checkpoint in {self.dir} is missing or corrupt "
+                    f"({type(e).__name__}: {e}); starting fresh")
+            self.reset()
+            return None
 
     # ------------------------------------------------------------- payloads
     # Data files are SELF-DESCRIBING (they carry their own next_j) because
@@ -112,6 +175,8 @@ class Checkpoint:
     # matches it by construction — block/chunk files are saved before the
     # totals that cover them), while meta gates fingerprint and phase.
     def save_totals(self, tot_XXP, tot_y, next_j: int) -> None:
+        # data files before the totals that cover them (resume invariant)
+        self.flush_pending()
         _atomic_save_npz(self._path("totals.npz"),
                          tot_XXP=np.asarray(tot_XXP),
                          tot_y=np.asarray(tot_y), next_j=np.int64(next_j))
@@ -121,35 +186,59 @@ class Checkpoint:
         path = self._path("totals.npz")
         if not os.path.exists(path):
             return None
-        with np.load(path) as z:
-            return z["tot_XXP"], z["tot_y"], int(z["next_j"])
 
-    def save_block(self, j: int, XXP, yXXy) -> None:
-        _atomic_save_npz(self._path(f"block_{j:06d}.npz"),
-                         XXP=np.asarray(XXP), yXXy=np.asarray(yXXy))
+        def _load():
+            with np.load(path) as z:
+                return z["tot_XXP"], z["tot_y"], int(z["next_j"])
+        return self._load_or_reset(_load)
 
-    def load_blocks(self, upto: int) -> dict:
-        """{j: (XXP, yXXy)} as host arrays for all blocks < upto."""
-        out = {}
-        for j in range(upto):
-            with np.load(self._path(f"block_{j:06d}.npz")) as z:
-                out[j] = (z["XXP"], z["yXXy"])
-        return out
+    # Per-block/chunk stats are STAGED, not written immediately: the
+    # cadence flag (--checkpoint_every) must throttle the dominant
+    # checkpoint I/O (the stats slabs), not just the small totals/meta
+    # writes. Staged entries keep the arrays referenced (they live in the
+    # engine's stats cache anyway) and are flushed by save_totals/commit.
+    def stage_block(self, j: int, XXP, yXXy) -> None:
+        self._pending.append(("block", (j, XXP, yXXy)))
 
-    def save_chunk(self, j0: int, C: int, Xs, Ys) -> None:
-        _atomic_save_npz(self._path(f"chunk_{j0:06d}.npz"),
-                         j0=np.int64(j0), C=np.int64(C),
-                         Xs=np.asarray(Xs), Ys=np.asarray(Ys))
+    def stage_chunk(self, j0: int, C: int, Xs, Ys) -> None:
+        self._pending.append(("chunk", (j0, C, Xs, Ys)))
 
-    def load_chunks(self, upto: int) -> list:
-        """[(j0, C, Xs, Ys)] covering blocks [0, upto), in order."""
-        chunks, j = [], 0
-        while j < upto:
-            with np.load(self._path(f"chunk_{j:06d}.npz")) as z:
-                C = int(z["C"])
-                chunks.append((j, C, z["Xs"], z["Ys"]))
-            j += C
-        return chunks
+    def flush_pending(self) -> None:
+        for kind, payload in self._pending:
+            if kind == "block":
+                j, XXP, yXXy = payload
+                _atomic_save_npz(self._path(f"block_{j:06d}.npz"),
+                                 XXP=np.asarray(XXP), yXXy=np.asarray(yXXy))
+            else:
+                j0, C, Xs, Ys = payload
+                _atomic_save_npz(self._path(f"chunk_{j0:06d}.npz"),
+                                 j0=np.int64(j0), C=np.int64(C),
+                                 Xs=np.asarray(Xs), Ys=np.asarray(Ys))
+        self._pending.clear()
+
+    def load_blocks(self, upto: int):
+        """{j: (XXP, yXXy)} as host arrays for all blocks < upto, or None
+        (state cleared) if any file is missing/corrupt."""
+        def _load():
+            out = {}
+            for j in range(upto):
+                with np.load(self._path(f"block_{j:06d}.npz")) as z:
+                    out[j] = (z["XXP"], z["yXXy"])
+            return out
+        return self._load_or_reset(_load)
+
+    def load_chunks(self, upto: int):
+        """[(j0, C, Xs, Ys)] covering blocks [0, upto), in order, or None
+        (state cleared) if any file is missing/corrupt."""
+        def _load():
+            chunks, j = [], 0
+            while j < upto:
+                with np.load(self._path(f"chunk_{j:06d}.npz")) as z:
+                    C = int(z["C"])
+                    chunks.append((j, C, z["Xs"], z["Ys"]))
+                j += C
+            return chunks
+        return self._load_or_reset(_load)
 
     def save_assemble(self, T_part, q_part, next_j: int) -> None:
         _atomic_save_npz(self._path("assemble.npz"),
@@ -161,8 +250,11 @@ class Checkpoint:
         path = self._path("assemble.npz")
         if not os.path.exists(path):
             return None
-        with np.load(path) as z:
-            return z["T"], z["q"], int(z["next_j"])
+
+        def _load():
+            with np.load(path) as z:
+                return z["T"], z["q"], int(z["next_j"])
+        return self._load_or_reset(_load)
 
     def save_results(self, T_all, q_all) -> None:
         _atomic_save_npz(self._path("results.npz"),
@@ -170,5 +262,8 @@ class Checkpoint:
                          q_all=np.asarray(q_all, np.float64))
 
     def load_results(self):
-        with np.load(self._path("results.npz")) as z:
-            return z["T_all"], z["q_all"]
+        """(T_all, q_all), or None (state cleared) if missing/corrupt."""
+        def _load():
+            with np.load(self._path("results.npz")) as z:
+                return z["T_all"], z["q_all"]
+        return self._load_or_reset(_load)

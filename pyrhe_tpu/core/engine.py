@@ -145,9 +145,14 @@ class Engine:
             self.cfg = cfg = RunConfig(**{**cfg.__dict__, "streaming": True})
         self._ckpt = None
         if cfg.checkpoint_dir:
-            from .checkpoint import Checkpoint
-            self._ckpt = Checkpoint(cfg.checkpoint_dir, self._fingerprint(),
-                                    self.log)
+            from .checkpoint import Checkpoint, CheckpointBusy
+            try:
+                self._ckpt = Checkpoint(cfg.checkpoint_dir,
+                                        self._fingerprint(), self.log)
+            except CheckpointBusy as e:
+                # sharing a live run's directory would interleave commits
+                # and could reset its state; run un-checkpointed instead
+                self.log._log(f"WARNING: {e}; this run will NOT checkpoint")
         self._build_static_arrays()
         self._cache: dict[int, tuple] = {}
         self._chunk_cache: list = []
@@ -173,10 +178,16 @@ class Engine:
         path = getattr(bed, "path", None)
         try:
             size = os.path.getsize(path) if path else None
+            mtime = int(os.path.getmtime(path)) if path else None
         except OSError:
-            size = None
+            size = mtime = None
         return {
-            "bed": [str(path), size],
+            # size alone is a pure function of (num_snp, num_indv): a
+            # regenerated/refiltered .bed with the same shapes at the same
+            # path must NOT silently resume from stale totals. mtime plus
+            # a sampled content hash (first/middle/last 1 MB) pins identity
+            # without reading tens of GB.
+            "bed": [str(path), size, mtime, self._bed_sample_sha(path)],
             "num_snp": int(self.data.num_snp),
             "num_indv": int(self.data.num_indv),
             "J": self.J, "B": self.B, "K": self.K,
@@ -193,6 +204,25 @@ class Engine:
             # pheno/cov/env/annot changed (same shapes) must NOT resume
             "aux_sha": self._aux_sha(),
         }
+
+    @staticmethod
+    def _bed_sample_sha(path) -> str | None:
+        """Cheap content fingerprint of the .bed: sha256 over 1 MB samples
+        at the start, middle, and end of the file."""
+        if not path:
+            return None
+        import hashlib
+        h = hashlib.sha256()
+        try:
+            size = os.path.getsize(path)
+            with open(path, "rb") as f:
+                for off in {0, max(0, size // 2 - 2**19),
+                            max(0, size - 2**20)}:
+                    f.seek(off)
+                    h.update(f.read(2**20))
+        except OSError:
+            return None
+        return h.hexdigest()[:16]
 
     def _aux_sha(self) -> str:
         import hashlib
@@ -506,13 +536,19 @@ class Engine:
             f"jackknife blocks already covered ({self.cfg.checkpoint_dir})")
         if not self.cfg.streaming:
             if chunked:
+                chunks = self._ckpt.load_chunks(start_j)
+                if chunks is None:   # corrupt/missing data file: fresh start
+                    return 0, None
                 self._chunk_cache = [
                     (j0, C, jax.device_put(jnp.asarray(Xs, self.dtype),
                                            self._dev),
                      jax.device_put(jnp.asarray(Ys, self.dtype), self._dev))
-                    for j0, C, Xs, Ys in self._ckpt.load_chunks(start_j)]
+                    for j0, C, Xs, Ys in chunks]
             else:
-                self._cache = self._ckpt.load_blocks(start_j)
+                blocks = self._ckpt.load_blocks(start_j)
+                if blocks is None:
+                    return 0, None
+                self._cache = blocks
         return start_j, tot
 
     def _put_tot(self, tot):
@@ -540,7 +576,7 @@ class Engine:
             if not self.cfg.streaming:
                 self._cache[j] = (XXP, yXXy)
                 if self._ckpt:
-                    self._ckpt.save_block(j, XXP, yXXy)
+                    self._ckpt.stage_block(j, XXP, yXXy)
             if self._ckpt and (j + 1 - start_j) % every == 0:
                 self._ckpt.save_totals(tot_XXP, tot_y, j + 1)
                 self._ckpt.commit("precompute", j + 1)
@@ -713,7 +749,7 @@ class Engine:
             if keep:
                 self._chunk_cache.append((j0, C, Xs, Ys))
                 if self._ckpt:
-                    self._ckpt.save_chunk(j0, C, Xs, Ys)
+                    self._ckpt.stage_chunk(j0, C, Xs, Ys)
             self._tot = (tot_X, tot_y)
             n_chunks += 1
             if self._ckpt and n_chunks % every == 0:
@@ -1004,13 +1040,15 @@ class Engine:
         if self._ckpt:
             st = self._ckpt.state()
             if st is not None and st[0] == "done":
-                self.T_all, self.q_all = self._ckpt.load_results()
-                self.log._log(
-                    "Resumed completed (T, q) from checkpoint "
-                    f"({self.cfg.checkpoint_dir}); skipping both passes")
-                if self.cfg.get_trace:
-                    self.trace_sums = self._compute_trace_sums()
-                return
+                res = self._ckpt.load_results()
+                if res is not None:
+                    self.T_all, self.q_all = res
+                    self.log._log(
+                        "Resumed completed (T, q) from checkpoint "
+                        f"({self.cfg.checkpoint_dir}); skipping both passes")
+                    if self.cfg.get_trace:
+                        self.trace_sums = self._compute_trace_sums()
+                    return
         self.precompute()
         self.assemble()
 

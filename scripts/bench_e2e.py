@@ -37,6 +37,10 @@ def main():
                     choices=["rhe", "rhe_dom", "genie"])
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--dir", default="/tmp/pyrhe_e2e")
+    ap.add_argument("--checkpoint_dir", default=None,
+                    help="crash-safe resume snapshots for the long "
+                         "target-scale runs (BASELINE N=300k/M=500k)")
+    ap.add_argument("--stage_streams", type=int, default=0)
     args = ap.parse_args()
 
     import jax
@@ -73,7 +77,9 @@ def main():
     spec = ModelSpec.build(args.model)
     eng = Engine(data, spec, RunConfig(num_random_vec=args.k,
                                        num_jack=args.jn, seed=1,
-                                       streaming=args.streaming))
+                                       streaming=args.streaming,
+                                       checkpoint_dir=args.checkpoint_dir,
+                                       stage_streams=args.stage_streams))
     times["load+init"] = time.time() - t0
 
     t0 = time.time()

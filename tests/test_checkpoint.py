@@ -7,6 +7,8 @@ order, so no tolerance is needed. Crashes are simulated by raising from
 the checkpoint's commit hook — commit is the last step of every save, so
 this exercises the torn-state window the atomic protocol must survive.
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -199,3 +201,116 @@ def test_pheno_change_invalidates_checkpoint(small_dataset, tmp_path):
     data.pheno = data.pheno + 1.0    # content change, same shape
     eng2 = Engine(data, spec, cfg)
     assert eng2._ckpt.state() is None
+
+
+def test_corrupt_data_file_starts_fresh(small_dataset, tmp_path):
+    """A truncated/missing data file (partial directory copy, power loss)
+    must fall back to a fresh start, not crash the resume."""
+    ck = tmp_path / "ck"
+    base = make_engine(small_dataset)
+    base.run_precompute_and_assemble()
+
+    eng = make_engine(small_dataset, str(ck))
+    crash_commit_after(eng, n_allowed=5)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eng.run_precompute_and_assemble()
+    # truncate a committed block file mid-byte (power-loss shape)
+    victim = ck / "block_000002.npz"
+    victim.write_bytes(victim.read_bytes()[:10])
+
+    eng2 = make_engine(small_dataset, str(ck))
+    loaded = spy_loads(eng2)
+    eng2.run_precompute_and_assemble()
+    assert min(loaded) == 0, "corrupt state must restart from block 0"
+    np.testing.assert_array_equal(eng2.T_all, base.T_all)
+    np.testing.assert_array_equal(eng2.q_all, base.q_all)
+
+
+def test_corrupt_results_recomputes(small_dataset, tmp_path):
+    ck = tmp_path / "ck"
+    base = make_engine(small_dataset)
+    base.run_precompute_and_assemble()
+    eng = make_engine(small_dataset, str(ck))
+    eng.run_precompute_and_assemble()
+    (ck / "results.npz").write_bytes(b"not a zip")
+    eng2 = make_engine(small_dataset, str(ck))
+    eng2.run_precompute_and_assemble()
+    np.testing.assert_array_equal(eng2.T_all, base.T_all)
+
+
+def test_lock_excludes_other_processes(small_dataset, tmp_path):
+    """Two live runs must not share one --checkpoint_dir: the second run
+    proceeds WITHOUT checkpointing (and leaves the first's state alone)."""
+    import subprocess
+    import sys
+    import time as _time
+
+    ck = tmp_path / "ck"
+    ck.mkdir()
+    marker = ck / "meta.json"
+    marker.write_text("{}")   # would be reset() fodder if the lock failed
+    holder = subprocess.Popen(
+        [sys.executable, "-c",
+         "import fcntl,os,sys,time\n"
+         f"fd=os.open({str(ck / '.lock')!r}, os.O_CREAT|os.O_RDWR)\n"
+         "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+         "print('locked', flush=True)\n"
+         "time.sleep(60)\n"])
+    try:
+        deadline = _time.time() + 20
+        while not (ck / ".lock").exists() and _time.time() < deadline:
+            _time.sleep(0.05)
+        _time.sleep(0.3)   # let the child take the flock
+        eng = make_engine(small_dataset, str(ck))
+        assert eng._ckpt is None, "locked dir must disable checkpointing"
+        eng.run_precompute_and_assemble()   # still runs fine
+        assert marker.read_text() == "{}", "other run's state must survive"
+    finally:
+        holder.kill()
+        holder.wait()
+
+
+def test_bed_content_change_invalidates(small_dataset, tmp_path):
+    """A regenerated .bed with identical size at the same path (same N, M)
+    must invalidate the checkpoint — size alone is shape-determined."""
+    import shutil
+
+    prefix = str(tmp_path / "copy")
+    for ext in (".bed", ".bim", ".fam"):
+        shutil.copy(small_dataset["prefix"] + ext, prefix + ext)
+    ds = dict(small_dataset, prefix=prefix)
+    ck = str(tmp_path / "ck")
+    make_engine(ds, ck).run_precompute_and_assemble()
+
+    with open(prefix + ".bed", "r+b") as f:   # flip bytes mid-file
+        f.seek(os.path.getsize(prefix + ".bed") // 2)
+        f.write(bytes([0x55, 0xAA]))
+    eng2 = make_engine(ds, ck)
+    assert eng2._ckpt.state() is None, "stale genotypes must not resume"
+
+
+def test_checkpoint_every_gates_stats_io(tmp_path):
+    """--checkpoint_every throttles the dominant I/O: staged block/chunk
+    saves hit disk only when the covering totals/commit is written."""
+    from pyrhe_tpu.core.checkpoint import Checkpoint
+
+    ck = Checkpoint(str(tmp_path), {"a": 1})
+    for j in range(3):
+        ck.stage_block(j, np.ones((2, 4)), np.ones((2, 1)))
+    assert not list(tmp_path.glob("block_*.npz")), "stats writes not gated"
+    ck.save_totals(np.zeros(3), np.zeros(3), 3)
+    assert len(list(tmp_path.glob("block_*.npz"))) == 3
+    ck.commit("precompute", 3)
+
+
+def test_reset_cleans_own_tmp_files(tmp_path):
+    from pyrhe_tpu.core.checkpoint import Checkpoint
+
+    (tmp_path / "totals.npz.tmp").write_bytes(b"torn write")
+    (tmp_path / "meta.json.tmp").write_text("torn")
+    (tmp_path / "users_file.txt").write_text("keep me")   # not ours
+    ck = Checkpoint(str(tmp_path), {"a": 1})
+    ck.reset()
+    assert not (tmp_path / "totals.npz.tmp").exists()
+    assert not (tmp_path / "meta.json.tmp").exists()
+    assert (tmp_path / "users_file.txt").exists()
