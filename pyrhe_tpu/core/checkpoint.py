@@ -61,10 +61,14 @@ def _atomic_save_npz(path: str, **arrays) -> None:
 
 
 class Checkpoint:
-    def __init__(self, directory: str, fingerprint: dict, log=None):
+    def __init__(self, directory: str, fingerprint: dict, log=None,
+                 lock_name: str = ".lock"):
         self.dir = directory
         self.fingerprint = fingerprint
         self.log = log
+        self._lock_name = lock_name   # per-process in multi-host jobs:
+        # every process of ONE job legitimately opens the shared dir, but
+        # a second JOB (same process index) must still be excluded
         os.makedirs(directory, exist_ok=True)
         self._lock_fd = self._acquire_lock()
         self._pending: list = []   # staged block/chunk saves (see stage_*)
@@ -82,7 +86,7 @@ class Checkpoint:
         sharing one --checkpoint_dir would interleave saves/commits (and a
         config mismatch in the second would reset() the first's state from
         under it). flock is released automatically if the holder dies."""
-        path = os.path.join(self.dir, ".lock")
+        path = os.path.join(self.dir, self._lock_name)
         key = os.path.realpath(path)
         if key in Checkpoint._PROC_LOCKS:
             return Checkpoint._PROC_LOCKS[key]

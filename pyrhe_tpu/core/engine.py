@@ -146,9 +146,13 @@ class Engine:
         self._ckpt = None
         if cfg.checkpoint_dir:
             from .checkpoint import Checkpoint, CheckpointBusy
+            nproc = jax.process_count()
+            lock = (".lock" if nproc == 1
+                    else f".lock.p{jax.process_index()}")
             try:
                 self._ckpt = Checkpoint(cfg.checkpoint_dir,
-                                        self._fingerprint(), self.log)
+                                        self._fingerprint(), self.log,
+                                        lock_name=lock)
             except CheckpointBusy as e:
                 # sharing a live run's directory would interleave commits
                 # and could reset its state; run un-checkpointed instead
@@ -940,10 +944,6 @@ class Engine:
         from ..parallel.mesh import make_mesh
         from ..parallel.sharded import ShardedRunner
 
-        if self._ckpt is not None:
-            self.log._log(
-                "Note: checkpoint/resume is not supported on the sharded "
-                "path yet; running without snapshots")
         mesh = mesh or make_mesh()
         runner = ShardedRunner(self, mesh)
         self.T_all, self.q_all = runner.run()

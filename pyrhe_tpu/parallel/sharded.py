@@ -31,6 +31,7 @@ streaming worker loop base_streaming.py:85-144) — at pod scale:
 """
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from functools import partial
@@ -207,6 +208,105 @@ class ShardedRunner:
                 refill()
                 yield s, chunk
 
+    # --------------------------------------------------------- checkpointing
+    # Pod-scale multi-hour runs are exactly where crash-safety matters, so
+    # the sharded path snapshots per PROCESS: each process writes its own
+    # addressable shard slabs under <checkpoint_dir>/shard_<pid>_of_<n>/,
+    # fingerprint-gated like the sequential path plus the superstep plan
+    # (a changed mesh/chunking re-partitions slots, so stored slabs only
+    # resume under the same plan). Units are SUPERSTEPS, not blocks.
+    def _make_ckpt(self, streaming: bool):
+        eng = self.eng
+        if not eng.cfg.checkpoint_dir:
+            return None
+        from ..core.checkpoint import Checkpoint, CheckpointBusy
+        pid, n = jax.process_index(), jax.process_count()
+        sub = os.path.join(eng.cfg.checkpoint_dir, f"shard_{pid}_of_{n}")
+        pl = self.plan
+        fp = dict(eng._fingerprint())
+        fp.update({"sharded_plan": [pl.D, pl.C, pl.S, pl.J_loc, pl.J_pad],
+                   "process": [pid, n], "streaming_eff": bool(streaming)})
+        try:
+            return Checkpoint(sub, fp, eng.log)
+        except CheckpointBusy as e:
+            eng.log._log(f"WARNING: {e}; sharded run will NOT checkpoint")
+            return None
+
+    def _local_slab(self, arr) -> np.ndarray:
+        """This process's rows of a leading-axis-sharded global array as
+        one host array, ascending global offset (the layout
+        make_array_from_process_local_data rebuilds from)."""
+        shards = sorted(arr.addressable_shards,
+                        key=lambda sh: sh.index[0].start or 0)
+        return np.concatenate([np.asarray(sh.data) for sh in shards])
+
+    def _from_slab(self, slab, global_shape):
+        return jax.make_array_from_process_local_data(
+            self.sh_block, np.asarray(slab), tuple(global_shape))
+
+    def _ckpt_pass1_state(self, ck, streaming, totX, toty, cache):
+        """Resume bookkeeping for pass 1. Returns (start_s, totX, toty)
+        and, in cached mode, refills `cache` with the per-superstep stats
+        arrays re-staged from the local slabs."""
+        if ck is None:
+            return 0, totX, toty
+        st = ck.state()
+        if st is None:
+            return 0, totX, toty
+        ld = ck.load_totals()
+        if ld is None:
+            return 0, totX, toty
+        phase, _ = st
+        start_s = self.plan.S if phase in ("assemble", "done") else ld[2]
+        if start_s <= 0:
+            return 0, totX, toty
+        pl, eng = self.plan, self.eng
+        if not streaming:
+            chunks = ck.load_chunks(start_s)
+            if chunks is None:   # corrupt/missing slab: fresh start
+                return 0, totX, toty
+            T_traits = max(eng.T_traits, 0)
+            for _s, _C, bX, by in chunks:
+                cache.append((
+                    self._from_slab(bX, (pl.D * pl.C, eng.E_geno,
+                                         eng.N_work, eng.b2)),
+                    self._from_slab(by, (pl.D * pl.C, eng.E_geno,
+                                         T_traits))))
+        totX = self._from_slab(ld[0], totX.shape)
+        toty = self._from_slab(ld[1], toty.shape)
+        eng.log._log(
+            f"Resuming sharded precompute from checkpoint: {start_s}/"
+            f"{pl.S} supersteps already covered ({ck.dir})")
+        return start_s, totX, toty
+
+    def _ckpt_pass2_state(self, ck, Ts, qs, Ts_loc, qs_loc) -> int:
+        """Resume bookkeeping for pass 2: reloads the per-superstep local
+        (T, q) slabs, rebuilds their sharded arrays, and returns the first
+        superstep still to assemble."""
+        if ck is None:
+            return 0
+        st = ck.state()
+        if st is None or st[0] not in ("assemble", "done"):
+            return 0
+        ld = ck.load_assemble()
+        if ld is None:
+            return 0
+        T_slabs, q_slabs, next_s = ld   # (next_s, local_rows, ...)
+        if next_s <= 0:
+            return 0
+        rows = self.plan.D * self.plan.C
+        for i in range(next_s):
+            Ts.append(self._from_slab(T_slabs[i],
+                                      (rows,) + T_slabs.shape[2:]))
+            qs.append(self._from_slab(q_slabs[i],
+                                      (rows,) + q_slabs.shape[2:]))
+            Ts_loc.append(T_slabs[i])
+            qs_loc.append(q_slabs[i])
+        self.eng.log._log(
+            f"Resuming sharded assemble from checkpoint: {next_s}/"
+            f"{self.plan.S} supersteps already built")
+        return next_s
+
     def _superstep_M_rows(self, s: int):
         """Sharded leave-one-out M rows for superstep s's slots (padding
         slots get the full-genome row — their T/q output is dropped)."""
@@ -347,6 +447,17 @@ class ShardedRunner:
         eng = self.eng
         pl = self.plan
         streaming = bool(eng.cfg.streaming) or self._auto_streaming()
+        ck = self._make_ckpt(streaming)
+        if ck is not None:
+            st = ck.state()
+            if st is not None and st[0] == "done":
+                res = ck.load_results()
+                if res is not None:
+                    eng.log._log(
+                        "Resumed completed (T, q) from sharded checkpoint "
+                        f"({ck.dir}); skipping both passes")
+                    return res
+        every = max(1, eng.cfg.checkpoint_every)
         (stats_step, asm_step, finalize,
          full_sample) = self._build_steps(streaming)
 
@@ -381,7 +492,9 @@ class ShardedRunner:
 
         # ---- pass 1: supersteps, concurrent staging streams ---------------
         cache = []
-        for s, chunk in self._staged_supersteps():
+        start_s, totX, toty = self._ckpt_pass1_state(ck, streaming, totX,
+                                                     toty, cache)
+        for s, chunk in self._staged_supersteps(start_s):
             t0 = time.perf_counter()
             out = stats_step(*chunk, totX, toty, P_mat, env, mask)
             totX, toty = out[0], out[1]
@@ -389,13 +502,36 @@ class ShardedRunner:
                 cache.append(out[2])
             del chunk
             eng._phase_add("scan_dispatch_s", time.perf_counter() - t0)
+            if ck is not None:
+                if not streaming:
+                    ck.stage_chunk(s, 1, self._local_slab(out[2][0]),
+                                   self._local_slab(out[2][1]))
+                if (s + 1 - start_s) % every == 0:
+                    ck.save_totals(self._local_slab(totX),
+                                   self._local_slab(toty), s + 1)
+                    ck.commit("precompute", s + 1)
             eng.log._debug(f"sharded superstep {s + 1}/{pl.S} done")
+        if ck is not None and start_s < pl.S:
+            ck.save_totals(self._local_slab(totX), self._local_slab(toty),
+                           pl.S)
+            ck.commit("assemble", 0)
         totX_r, toty_r = finalize(totX, toty)
 
         # ---- pass 2: per-superstep leave-one-out assembly -----------------
         Ts, qs = [], []
+        Ts_loc: list = []   # host slab copies mirroring Ts (checkpointing)
+        qs_loc: list = []
+        start2 = self._ckpt_pass2_state(ck, Ts, qs, Ts_loc, qs_loc)
+
+        def _ckpt_pass2_save(s):
+            Ts_loc.append(self._local_slab(Ts[-1]))
+            qs_loc.append(self._local_slab(qs[-1]))
+            if (s + 1 - start2) % every == 0:
+                ck.save_assemble(np.stack(Ts_loc), np.stack(qs_loc), s + 1)
+                ck.commit("assemble", s + 1)
+
         if streaming:
-            for s, chunk in self._staged_supersteps():
+            for s, chunk in self._staged_supersteps(start2):
                 t0 = time.perf_counter()
                 T_c, q_c = asm_step(*chunk, self._superstep_M_rows(s),
                                     totX_r, toty_r, *small, P_mat, env,
@@ -404,14 +540,18 @@ class ShardedRunner:
                 qs.append(q_c)
                 del chunk
                 eng._phase_add("scan_dispatch_s", time.perf_counter() - t0)
+                if ck is not None:
+                    _ckpt_pass2_save(s)
         else:
-            for s in range(pl.S):
+            for s in range(start2, pl.S):
                 bX, by = cache[s]
                 cache[s] = None
                 T_c, q_c = asm_step(bX, by, self._superstep_M_rows(s),
                                     totX_r, toty_r, *small)
                 Ts.append(T_c)
                 qs.append(q_c)
+                if ck is not None:
+                    _ckpt_pass2_save(s)
 
         # full-data sample: zero block against the totals
         dummyX = self._replicated(
@@ -438,6 +578,9 @@ class ShardedRunner:
                     q_all[slot] = q_pad[s * pl.D * pl.C + r]
         T_all[J] = np.asarray(T_full, np.float64)[0]
         q_all[J] = np.asarray(q_full, np.float64)[0]
+        if ck is not None:
+            ck.save_results(T_all, q_all)
+            ck.commit("done", pl.S)
         return T_all, q_all
 
     def _auto_streaming(self) -> bool:
