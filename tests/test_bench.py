@@ -44,3 +44,9 @@ def test_bench_main_json_contract():
     assert out["unit"] == "GFLOP/s"
     assert out["value"] > 0
     assert out["vs_baseline"] > 0
+    # both the narrow headline and the wide production shape carry MFU
+    # (vs TPU peak, so it rounds to 0.0 on the CPU smoke backend)
+    assert out["mfu_pct"] >= 0
+    assert out["wide"]["value"] > 0
+    assert out["wide"]["mfu_pct"] >= 0
+    assert out["wide"]["config"]["K"] == 8 and out["wide"]["config"]["cov"]
