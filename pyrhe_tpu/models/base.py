@@ -199,7 +199,15 @@ class BaseModel:
 
     def get_trace_summary(self):
         """Write SUMRHE-compatible `<prefix>.MN` and `<prefix>.tr` sumstats
-        (reference base.py:831-855)."""
+        (reference base.py:831-855).
+
+        The `.tr` format is SUMRHE's and carries only the K genetic-bin
+        rows/columns. For GENIE the engine computes the full (E, E) trace
+        sums including GxE and NxE components (engine
+        _compute_trace_sums); those extra rows would be silently lost in
+        the SUMRHE layout, so when E > K a second file `<prefix>.all.tr`
+        is written with every component's row (component order: K genetic
+        bins, then K*num_env GxE bins, then num_env NxE columns)."""
         trace_sums = self.engine.trace_sums
         pheno_path = (os.path.basename(self.data.pheno_file)
                       if self.data.pheno_file else None)
@@ -223,6 +231,16 @@ class BaseModel:
                     row = ",".join(f"{trace_sums[j, k, l]:.3f}"
                                    for l in range(K))
                     fd.write(row + f",{self.engine.M_mat[j, k]:.0f}\n")
+        E = trace_sums.shape[1]
+        if E > K:   # GENIE: full component block alongside the SUMRHE file
+            with open(trace_prefix + ".all.tr", "w") as fd:
+                fd.write(",".join(f"LD_SUM_{i:d}" for i in range(E))
+                         + ",NSNPS_JACKKNIFE\n")
+                for j in range(self.cfg.num_jack + 1):
+                    for k in range(E):
+                        row = ",".join(f"{trace_sums[j, k, l]:.3f}"
+                                       for l in range(E))
+                        fd.write(row + f",{self.engine.M_mat[j, k]:.0f}\n")
         self.log._log(f"Saved trace summary into {trace_prefix}(.tr/.MN)")
 
     def get_XtXz(self, output: str, jackknife_blocks: bool = True):

@@ -7,6 +7,9 @@ import os
 # a TPU: parity tests need float64 and a mesh. The TPU plugin's
 # sitecustomize initializes backends at interpreter start, so they must be
 # torn down before the cpu/x64/device-count configs can apply.
+# The original platform is kept so the on-accelerator smoke test
+# (test_tpu_smoke.py) can target the real chip from a subprocess.
+ORIG_JAX_PLATFORMS = os.environ.get("JAX_PLATFORMS")
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402

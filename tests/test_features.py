@@ -107,6 +107,42 @@ def test_trace_file_contents(small_dataset, tmp_path):
         assert int(cnt) == eng.M_mat[j, 0]
 
 
+def test_genie_trace_writes_full_component_block(small_dataset, tmp_path):
+    """GENIE trace export: the SUMRHE `.tr` keeps only the K genetic bins
+    (format limitation), so the full (E, E) block — G + GxE + NxE rows the
+    engine computes — must land in `.all.tr` instead of being silently
+    dropped (VERDICT r2 weak #7)."""
+    from pyrhe_tpu.models import GENIE
+
+    genie = GENIE(geno_file=small_dataset["prefix"],
+                  annot_file=small_dataset["annot1_path"],
+                  pheno_file=small_dataset["pheno_path"],
+                  env_file=small_dataset["env_path"],
+                  genie_model="G+GxE+NxE", num_jack=4, num_random_vec=4,
+                  seed=7, dtype="float64", get_trace=True,
+                  trace_dir=str(tmp_path))
+    os.chdir(tmp_path)
+    genie(trait=0)
+    base = f"run_{os.path.basename(small_dataset['pheno_path'])}"
+    eng = genie.engine
+    E = eng.E
+    assert E == 3   # 1 genetic bin + 1 GxE + 1 NxE
+
+    tr = (tmp_path / (base + ".tr")).read_text().splitlines()
+    assert tr[0] == "LD_SUM_0,NSNPS_JACKKNIFE"   # SUMRHE: K=1 columns
+
+    full = (tmp_path / (base + ".all.tr")).read_text().splitlines()
+    assert full[0] == ",".join(f"LD_SUM_{i}" for i in range(E)) + \
+        ",NSNPS_JACKKNIFE"
+    assert len(full) == 1 + (4 + 1) * E
+    # spot-check a GxE row against the engine's trace sums
+    row = full[1 + 1].split(",")   # j=0, component k=1 (GxE)
+    assert len(row) == E + 1
+    assert float(row[1]) == pytest.approx(eng.trace_sums[0, 1, 1],
+                                          abs=0.5e-3)
+    assert int(row[E]) == eng.M_mat[0, 1]
+
+
 def test_fast_synth_dataset(tmp_path):
     """make_dataset_fast writes a valid one-pass dataset whose estimates
     recover the generative sigma (native generator when available, NumPy
@@ -144,3 +180,42 @@ def test_fast_synth_dataset(tmp_path):
     eng.assemble()
     _, st = eng.estimate(0)
     assert abs(st[0] - 0.5) < 0.15
+
+
+def test_multi_trait_matches_independent_single_trait(small_dataset,
+                                                      tmp_path):
+    """Value-level multi-trait correctness (VERDICT r2 #6): in the shared-
+    precompute design every trait rides the same probe matrix (engine.py
+    module docstring), so trait t of a T-trait run must reproduce an
+    independent run on that trait's column alone — same seed, same
+    estimates. The reference reruns everything per trait
+    (base.py:874-886); this pins our redesign to that semantics."""
+    from pyrhe_tpu.io import synth
+
+    pheno2 = str(tmp_path / "multi")
+    synth.simulate_pheno_file(pheno2, small_dataset["prefix"], [0.3],
+                              small_dataset["annot1"], seed=9, num_traits=2)
+    # split trait 1 into its own file (FID IID t1)
+    single = str(tmp_path / "single.pheno")
+    with open(pheno2 + ".pheno") as f, open(single, "w") as g:
+        hdr = f.readline().split()
+        g.write(f"{hdr[0]} {hdr[1]} {hdr[3]}\n")
+        for line in f:
+            p = line.split()
+            g.write(f"{p[0]} {p[1]} {p[3]}\n")
+
+    multi = make_model(dict(small_dataset, pheno_path=pheno2 + ".pheno"),
+                       tmp_path, cov_file=small_dataset["cov_path"])
+    multi.engine.run_precompute_and_assemble()
+    sj_m, st_m = multi.engine.estimate(1)
+    se_m = S.jackknife_se(sj_m, st_m)
+
+    solo = make_model(dict(small_dataset, pheno_path=single), tmp_path,
+                      cov_file=small_dataset["cov_path"])
+    solo.engine.run_precompute_and_assemble()
+    sj_s, st_s = solo.engine.estimate(0)
+    se_s = S.jackknife_se(sj_s, st_s)
+
+    np.testing.assert_allclose(st_m, st_s, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(sj_m, sj_s, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(se_m, se_s, rtol=1e-8, atol=1e-12)
