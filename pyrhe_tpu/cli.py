@@ -100,6 +100,11 @@ def build_parser():
     parser.add_argument('--stage_streams', type=int, default=0,
                         help='concurrent host->device staging transfers; '
                              '0 = auto (3 on accelerators, 1 on CPU)')
+    parser.add_argument('--host_cache_gb', type=float, default=-1.0,
+                        help='host-RAM cache of cleaned packed blocks so '
+                             'the streaming pass 2 skips the .bed re-read;'
+                             ' -1 = auto (fit in half of free RAM), 0 = '
+                             'off, >0 = budget in GB')
     parser.add_argument('--config', type=str, help='configuration file path')
     return parser
 
@@ -171,6 +176,7 @@ def main(args):
         'checkpoint_dir': args.checkpoint_dir,
         'checkpoint_every': args.checkpoint_every,
         'stage_streams': args.stage_streams,
+        'host_cache_gb': args.host_cache_gb,
     }
 
     if args.model == "rhe":

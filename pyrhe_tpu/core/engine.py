@@ -96,6 +96,23 @@ class RunConfig:
                                     # bench_staging.py): 1 stream 30 MB/s,
                                     # 3 streams 39 MB/s — the tunnel's
                                     # aggregate cap.
+    host_cache_gb: float = -1.0     # host-RAM cache of cleaned packed
+                                    # blocks so the streaming pass 2
+                                    # restages from memory instead of
+                                    # re-reading the .bed; -1 = auto
+                                    # (enable when it fits half of
+                                    # MemAvailable), 0 = off, >0 = budget
+
+
+def _mem_available_bytes() -> float:
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return float(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return 0.0
 
 
 _DTYPES = {"float32": jnp.float32, "float64": jnp.float64,
@@ -158,6 +175,7 @@ class Engine:
                 # and could reset its state; run un-checkpointed instead
                 self.log._log(f"WARNING: {e}; this run will NOT checkpoint")
         self._build_static_arrays()
+        self._packed_cache = self._init_host_cache()
         self._cache: dict[int, tuple] = {}
         self._chunk_cache: list = []
         self._scan_fns: dict[bool, object] = {}
@@ -345,6 +363,44 @@ class Engine:
             mask[self.K:] = True
         return mask
 
+    def _init_host_cache(self):
+        """Host-RAM cache of cleaned packed blocks for streaming pass 2.
+
+        Streaming trades memory for a second full genotype pass; the
+        reference re-reads every block from disk
+        (base_streaming.py:116-118). On attached hardware the host
+        read+clean is a large share of the restage cost, so when the
+        packed bytes fit in host RAM, pass 2 serves them from memory —
+        bit-identical (the per-block imputation fills are deterministic,
+        _fill_from_stats) and transparent to checkpoint/resume.
+        cfg.host_cache_gb: -1 auto (fit within half of MemAvailable),
+        0 off, >0 explicit budget in GB."""
+        if not self.cfg.streaming or self.cfg.host_cache_gb == 0:
+            return None
+        est = self._host_cache_estimate()
+        budget = (self.cfg.host_cache_gb * 1e9
+                  if self.cfg.host_cache_gb > 0
+                  else _mem_available_bytes() * 0.5)
+        if est > budget:
+            self.log._debug(
+                f"host packed-block cache off: needs ~{est / 1e9:.1f} GB, "
+                f"budget {budget / 1e9:.1f} GB")
+            return None
+        self.log._debug(
+            f"host packed-block cache on (~{est / 1e9:.2f} GB): streaming "
+            "pass 2 will restage without re-reading the .bed")
+        return {}
+
+    def _host_cache_estimate(self) -> float:
+        """Upper bound on cached bytes for the active block format."""
+        d = self.data
+        if self.use_pallas:
+            return float((d.num_snp + self.J * self._pl_tm)
+                         * (self.n_pad // 4))
+        if d.bed.keep_idx is None and self.cfg.geno_impute_method == "mean":
+            return float(d.num_snp * d.bed.bytes_per_snp)
+        return float(d.num_snp * d.num_indv)   # decoded uint8 "host" mode
+
     def _block_range(self, j: int):
         """Contiguous SNP blocks; last absorbs remainder (reference base.py:362-379)."""
         step = self.data.num_snp // self.J
@@ -395,6 +451,22 @@ class Engine:
                         np.where(rval < d0 + d1, 1.0, 2.0))
 
     def _load_block(self, j: int, raw: bool = False):
+        """Host-side block fetch -> (geno array, fill, mode), memoized in
+        the host-RAM packed cache when enabled (streaming pass 2 then
+        restages from memory instead of re-reading + re-cleaning the
+        .bed — the reference's streaming mode re-reads from disk,
+        base_streaming.py:116-118)."""
+        if not raw and self._packed_cache is not None:
+            hit = self._packed_cache.get(j)
+            if hit is not None:
+                self._phase_add("host_cache_hits", 1.0)
+                return hit
+        out = self._load_block_uncached(j, raw)
+        if not raw and self._packed_cache is not None:
+            self._packed_cache[j] = out
+        return out
+
+    def _load_block_uncached(self, j: int, raw: bool = False):
         """Host-side block fetch -> (geno array, fill, mode).
 
         mode: "pallas" (padded packed bytes for the fused kernels),

@@ -57,6 +57,7 @@ class BaseModel:
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 1,
         stage_streams: int = 0,
+        host_cache_gb: float = -1.0,
     ):
         self.log = log or Logger(debug_mode=False)
         seed = 0 if seed is None else int(seed)
@@ -108,6 +109,7 @@ class BaseModel:
             checkpoint_dir=checkpoint_dir,
             checkpoint_every=checkpoint_every,
             stage_streams=stage_streams,
+            host_cache_gb=host_cache_gb,
         )
         self.engine = Engine(self.data, self.spec, self.cfg, self.log)
         self._computed = False

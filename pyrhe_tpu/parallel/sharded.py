@@ -114,15 +114,25 @@ class ShardedRunner:
         zeros — they decode to zero dosage, zero variance, zero stats."""
         eng = self.eng
         pl = self.plan
+        annot = np.zeros((pl.m_pad, eng.K), np_dt)
+        if slot < eng.J:
+            s0, e0 = eng._block_range(slot)
+            annot[:e0 - s0] = eng.data.annot[s0:e0].astype(np_dt)
+        # host-RAM packed cache: streaming pass 2 restages this process's
+        # slots from memory instead of re-reading the .bed (engine
+        # _init_host_cache; keyed separately from the sequential path)
+        if eng._packed_cache is not None:
+            hit = eng._packed_cache.get(("sh", slot))
+            if hit is not None:
+                eng._phase_add("host_cache_hits", 1.0)
+                return hit[0], hit[1], annot
         geno = np.zeros((pl.m_pad, pl.W), np.uint8)
         fill = np.zeros(pl.m_pad, np.float32)
-        annot = np.zeros((pl.m_pad, eng.K), np_dt)
         if slot >= eng.J:
             return geno, fill, annot
         s, e = eng._block_range(slot)
         m = e - s
         d = eng.data
-        annot[:m] = d.annot[s:e].astype(np_dt)
         if d.bed.keep_idx is None:
             from ..io.bed import clean_packed
             packed = d.bed.read_packed_block(s, e)
@@ -140,6 +150,8 @@ class ShardedRunner:
                 sums, nmiss = d.bed.col_stats(g)
                 fill[:m] = eng._fill_from_stats(sums, nmiss, g.shape[1], m)
             geno[:m, :g.shape[1]] = g
+        if eng._packed_cache is not None:
+            eng._packed_cache[("sh", slot)] = (geno, fill)
         return geno, fill, annot
 
     def _row_slot(self, s: int, r: int) -> int:

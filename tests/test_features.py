@@ -219,3 +219,44 @@ def test_multi_trait_matches_independent_single_trait(small_dataset,
     np.testing.assert_allclose(st_m, st_s, rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(sj_m, sj_s, rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(se_m, se_s, rtol=1e-8, atol=1e-12)
+
+
+def test_streaming_host_cache_skips_reread(small_dataset):
+    """The host-RAM packed cache must make streaming pass 2 restage from
+    memory — no second .bed read — and be bit-identical to the cache-off
+    run (the reference's streaming mode re-reads every block from disk,
+    base_streaming.py:116-118)."""
+    from pyrhe_tpu.core.data import load_dataset
+    from pyrhe_tpu.core.engine import Engine, ModelSpec, RunConfig
+
+    def mk(cache_gb):
+        data = load_dataset(small_dataset["prefix"],
+                            annot_file=small_dataset["annot1_path"],
+                            pheno_file=small_dataset["pheno_path"],
+                            num_random_vec=4, seed=7)
+        spec = ModelSpec.build("rhe", "G", data.num_env)
+        cfg = RunConfig(num_random_vec=4, num_jack=6, seed=7,
+                        dtype="float64", streaming=True,
+                        host_cache_gb=cache_gb)
+        return Engine(data, spec, cfg)
+
+    off = mk(0)
+    assert off._packed_cache is None
+    off.run_precompute_and_assemble()
+
+    on = mk(-1)
+    assert on._packed_cache is not None, "tiny dataset must fit the cache"
+    calls = []
+    orig = on._load_block_uncached
+
+    def spy(j, raw=False):
+        calls.append(j)
+        return orig(j, raw)
+
+    on._load_block_uncached = spy
+    on.run_precompute_and_assemble()
+    # pass 1 reads each block once; pass 2 must hit the cache only
+    assert len(calls) == on.J, f"expected {on.J} disk reads, got {calls}"
+    assert on.phase_times.get("host_cache_hits", 0) == on.J
+    np.testing.assert_array_equal(on.T_all, off.T_all)
+    np.testing.assert_array_equal(on.q_all, off.q_all)
