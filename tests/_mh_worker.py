@@ -14,7 +14,10 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 pid, nproc, port, data_dir, out_npz = sys.argv[1:6]
-streaming = len(sys.argv) > 6 and sys.argv[6] == "streaming"
+extras = sys.argv[6:]
+streaming = "streaming" in extras
+ckpt_dir = next((a.split("=", 1)[1] for a in extras
+                 if a.startswith("ckpt=")), None)
 
 import jax  # noqa: E402
 from jax.extend.backend import clear_backends  # noqa: E402
@@ -44,7 +47,8 @@ data = load_dataset(prefix,
                     cov_file=os.path.join(data_dir, "test.cov"),
                     num_random_vec=8, seed=7)
 cfg = RunConfig(num_random_vec=8, num_jack=10, seed=7, dtype="float64",
-                geno_impute_method="binary", streaming=streaming)
+                geno_impute_method="binary", streaming=streaming,
+                checkpoint_dir=ckpt_dir)
 eng = Engine(data, ModelSpec.build("rhe"), cfg)
 eng.run_sharded(make_mesh())
 np.savez(out_npz, T_all=eng.T_all, q_all=eng.q_all)

@@ -20,7 +20,8 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _run_workers(data_dir, tmp, streaming=False):
+def _run_workers(data_dir, tmp, streaming=False, ckpt=None,
+                 want_logs=False):
     port = _free_port()
     outs, procs = [], []
     env = {k: v for k, v in os.environ.items()
@@ -32,6 +33,8 @@ def _run_workers(data_dir, tmp, streaming=False):
                str(pid), "2", str(port), data_dir, out]
         if streaming:
             cmd.append("streaming")
+        if ckpt:
+            cmd.append(f"ckpt={ckpt}")
         procs.append(subprocess.Popen(cmd, env=env,
                                       stdout=subprocess.PIPE,
                                       stderr=subprocess.STDOUT))
@@ -46,7 +49,8 @@ def _run_workers(data_dir, tmp, streaming=False):
         logs.append(stdout.decode(errors="replace"))
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
-    return [np.load(o) for o in outs]
+    arrays = [np.load(o) for o in outs]
+    return (arrays, logs) if want_logs else arrays
 
 
 @pytest.mark.parametrize("streaming", [False, True])
@@ -71,3 +75,24 @@ def test_two_process_matches_sequential(small_dataset, tmp_path, streaming):
                                    rtol=1e-10, atol=1e-10)
     # both processes hold the identical replicated result
     np.testing.assert_array_equal(ranks[0]["T_all"], ranks[1]["T_all"])
+
+
+def test_two_process_checkpoint_resume(small_dataset, tmp_path):
+    """Sharded checkpointing across a real process boundary: each of the
+    2 gloo processes snapshots its own shard slabs (shard_<pid>_of_2/);
+    a re-run resumes from the done state on BOTH ranks without
+    recomputing, bit-identical."""
+    ds = small_dataset
+    ck = str(tmp_path / "ck")
+    first, logs1 = _run_workers(ds["dir"], str(tmp_path), streaming=True,
+                                ckpt=ck, want_logs=True)
+    assert os.path.isdir(os.path.join(ck, "shard_0_of_2"))
+    assert os.path.isdir(os.path.join(ck, "shard_1_of_2"))
+    assert not any("Resumed completed" in g for g in logs1)
+
+    second, logs2 = _run_workers(ds["dir"], str(tmp_path), streaming=True,
+                                 ckpt=ck, want_logs=True)
+    assert all("Resumed completed" in g for g in logs2), logs2[0][-1500:]
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a["T_all"], b["T_all"])
+        np.testing.assert_array_equal(a["q_all"], b["q_all"])
