@@ -33,8 +33,10 @@ from pyrhe_tpu.io.bed import clean_packed, encode_dosage
 from pyrhe_tpu.ops.kernels import gp_matmul, pad_to, plane_permutation, \
     ytg_matmul
 
-TM, TN = 256, 512
-m, n = 512, 2048          # one multi-tile grid, already padded multiples
+TM, TN = 512, 2048        # the production tile (engine._pl_tm/_pl_tn);
+                          # word mode needs tn to be a multiple of 2048
+                          # so a word tile still spans >= 128 int32 lanes
+m, n = 1024, 4096         # a 2x2-tile grid, already padded multiples
 rng = np.random.default_rng(0)
 dos = rng.integers(0, 3, size=(m, n)).astype(np.uint8)
 packed = encode_dosage(dos)
@@ -48,16 +50,20 @@ C = rng.normal(size=(n, W))
 Yt = rng.normal(size=(W, m))
 zf = jnp.zeros((m, 1), jnp.float32)
 
-# bfloat16 is the production kernel dtype; float32 pins the exact path
-for dt, rtol, atol in ((jnp.bfloat16, 2e-2, 0.5), (jnp.float32, 2e-4, 1e-2)):
+# bfloat16 is the production kernel dtype; the split (bf16 hi+lo) mode is
+# how the engine reaches ~f32 accuracy on the MXU (mm_mode=split2) — a
+# plain f32 dot lands on the MXU at bf16-ish precision, so only the
+# split leg gets the tight tolerance.
+for dt, split, rtol, atol in ((jnp.bfloat16, False, 2e-2, 0.5),
+                              (jnp.float32, True, 2e-4, 2e-2)):
     gp = np.asarray(gp_matmul(
         words, zf, jnp.asarray(C[perm], jnp.float32), tm=TM, tn=TN,
-        dtype=dt, interpret=False, clean=True, word=True))
+        dtype=dt, interpret=False, clean=True, word=True, split=split))
     np.testing.assert_allclose(gp, g @ C, rtol=rtol, atol=atol)
     ytg = np.asarray(ytg_matmul(
         words, zf, jnp.asarray(Yt, jnp.float32), tm=TM, tn=TN, dtype=dt,
         interpret=False, clean=True, word=True))
-    np.testing.assert_allclose(ytg, (Yt @ g)[:, perm], rtol=rtol, atol=atol)
+    np.testing.assert_allclose(ytg, (Yt @ g)[:, perm], rtol=2e-2, atol=0.5)
 print("KERNELS_OK")
 '''
 
