@@ -280,3 +280,31 @@ def test_sharded_done_resume(small_dataset, tmp_path):
     eng2.run_sharded(make_mesh(2))
     np.testing.assert_array_equal(eng2.T_all, eng.T_all)
     np.testing.assert_array_equal(eng2.q_all, eng.q_all)
+
+
+def test_sharded_streaming_host_cache(small_dataset, monkeypatch):
+    """The host-RAM packed cache on the sharded path: pass 2 restages this
+    process's slots from memory (host_cache_hits recorded), bit-identical
+    to the cache-off sharded run."""
+    from pyrhe_tpu.core.data import load_dataset
+    from pyrhe_tpu.core.engine import Engine, ModelSpec, RunConfig
+
+    def mk(cache_gb):
+        data = load_dataset(small_dataset["prefix"],
+                            annot_file=small_dataset["annot1_path"],
+                            pheno_file=small_dataset["pheno_path"],
+                            num_random_vec=4, seed=7)
+        spec = ModelSpec.build("rhe", "G", data.num_env)
+        cfg = RunConfig(num_random_vec=4, num_jack=6, seed=7,
+                        dtype="float64", streaming=True,
+                        host_cache_gb=cache_gb)
+        return Engine(data, spec, cfg)
+
+    off = mk(0)
+    off.run_sharded(make_mesh(2))
+    on = mk(-1)
+    assert on._packed_cache is not None
+    on.run_sharded(make_mesh(2))
+    assert on.phase_times.get("host_cache_hits", 0) > 0
+    np.testing.assert_array_equal(on.T_all, off.T_all)
+    np.testing.assert_array_equal(on.q_all, off.q_all)
