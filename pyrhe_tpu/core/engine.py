@@ -263,6 +263,11 @@ class Engine:
         reported HBM (leaving the other half for totals, staged chunks and
         working buffers), with a conservative fallback when the runtime
         doesn't report memory (e.g. tunneled backends)."""
+        env = os.environ.get("PYRHE_TPU_HBM_BUDGET_GB")
+        if env:   # tunneled backends report no memory stats; let the
+            # operator state the chip's usable HBM (e.g. 13 for a 16 GB
+            # v5e after staging buffers) instead of the 8 GB fallback
+            return float(env) * 1e9
         try:
             stats = self._dev.memory_stats() or {}
             limit = stats.get("bytes_limit") or stats.get(

@@ -260,3 +260,19 @@ def test_streaming_host_cache_skips_reread(small_dataset):
     assert on.phase_times.get("host_cache_hits", 0) == on.J
     np.testing.assert_array_equal(on.T_all, off.T_all)
     np.testing.assert_array_equal(on.q_all, off.q_all)
+
+
+def test_hbm_budget_env_override(small_dataset, monkeypatch):
+    """Tunneled backends report no memory stats; PYRHE_TPU_HBM_BUDGET_GB
+    lets the operator state usable HBM instead of the 8 GB fallback."""
+    from pyrhe_tpu.core.data import load_dataset
+    from pyrhe_tpu.core.engine import Engine, ModelSpec, RunConfig
+
+    data = load_dataset(small_dataset["prefix"],
+                        annot_file=small_dataset["annot1_path"],
+                        pheno_file=small_dataset["pheno_path"],
+                        num_random_vec=4, seed=7)
+    eng = Engine(data, ModelSpec.build("rhe", "G", 0),
+                 RunConfig(num_random_vec=4, num_jack=4, seed=7))
+    monkeypatch.setenv("PYRHE_TPU_HBM_BUDGET_GB", "13")
+    assert eng._hbm_budget() == 13e9
