@@ -276,3 +276,29 @@ def test_hbm_budget_env_override(small_dataset, monkeypatch):
                  RunConfig(num_random_vec=4, num_jack=4, seed=7))
     monkeypatch.setenv("PYRHE_TPU_HBM_BUDGET_GB", "13")
     assert eng._hbm_budget() == 13e9
+
+
+def test_hbm_budget_device_kind_fallback(small_dataset, monkeypatch):
+    """Without memory stats, the budget is inferred from the device kind
+    (0.8x known HBM — validated by the measured 300k cached run) so the
+    cheaper cached mode engages automatically on tunneled chips."""
+    from pyrhe_tpu.core.data import load_dataset
+    from pyrhe_tpu.core.engine import Engine, ModelSpec, RunConfig
+
+    data = load_dataset(small_dataset["prefix"],
+                        annot_file=small_dataset["annot1_path"],
+                        pheno_file=small_dataset["pheno_path"],
+                        num_random_vec=4, seed=7)
+    eng = Engine(data, ModelSpec.build("rhe", "G", 0),
+                 RunConfig(num_random_vec=4, num_jack=4, seed=7))
+
+    class FakeDev:
+        device_kind = "TPU v5 lite"
+        platform = "tpu"
+
+        def memory_stats(self):
+            return None
+
+    monkeypatch.setattr(eng, "_dev", FakeDev())
+    monkeypatch.delenv("PYRHE_TPU_HBM_BUDGET_GB", raising=False)
+    assert eng._hbm_budget() == 0.8 * 16e9
