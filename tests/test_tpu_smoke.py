@@ -73,9 +73,11 @@ print("KERNELS_OK")
     reason="session has no accelerator platform")
 def test_pallas_kernels_on_tpu():
     env = dict(os.environ, JAX_PLATFORMS=ORIG_JAX_PLATFORMS)
+    # generous timeout: a cold tunneled session pays minutes of backend
+    # setup + two Mosaic compiles before the (fast) comparisons run
     res = subprocess.run(
         [sys.executable, "-c", _SCRIPT % {"root": ROOT}],
-        capture_output=True, text=True, env=env, timeout=600)
+        capture_output=True, text=True, env=env, timeout=1500)
     if "NOTPU" in res.stdout:
         pytest.skip("no accelerator device on the original platform")
     assert res.returncode == 0, res.stderr[-3000:]
