@@ -20,20 +20,36 @@ from .utils.logger import Logger
 
 
 def parse_config(config_path, config_name):
-    config = configparser.ConfigParser()
-    config.read(config_path)
-    return dict(config.items(config_name))
+    """{key: raw string} from one INI section.
+
+    Same contract as the reference CLI's config overlay
+    (run_rhe.py:13-18): the section name and raw-string values are a
+    compatibility surface for existing .txt config files.
+    """
+    cp = configparser.ConfigParser()
+    cp.read(config_path)
+    return {k: cp.get(config_name, k) for k in cp.options(config_name)}
+
+
+# INI values arrive as strings; the argparse default's type decides the
+# coercion. bool before int: isinstance(True, int) holds in Python, and
+# booleans must parse "true"/"yes" rather than int("true").
+_COERCERS = (
+    (bool, lambda s: s.lower() in ("true", "1", "yes")),
+    (int, int),
+)
 
 
 def convert_to_correct_type(value, default):
+    """Coerce an INI string to the type of the matching argparse default
+    (reference contract: run_rhe.py:19-26 — "none" means None, bools
+    accept true/1/yes, ints parse, everything else stays a string)."""
     if value.lower() == "none":
         return None
-    elif isinstance(default, bool):
-        return value.lower() in ["true", "1", "yes"]
-    elif isinstance(default, int):
-        return int(value)
-    else:
-        return value
+    for ty, coerce in _COERCERS:
+        if isinstance(default, ty):
+            return coerce(value)
+    return value
 
 
 def build_parser():

@@ -42,9 +42,14 @@ _OURS = re.compile(
     r"^(meta\.json|totals\.npz|assemble\.npz|results\.npz|"
     r"block_\d+\.npz|chunk_\d+\.npz|shard_\d+_of_\d+\.npz)(\.tmp)?$")
 
-# any way a partially-copied / truncated / power-lossed data file can fail
-# to load — resume must fall back to a fresh start, not crash opaquely
-_LOAD_ERRORS = (OSError, zipfile.BadZipFile, KeyError, ValueError, EOFError)
+# Structural corruption only: a partially-copied / truncated /
+# power-lossed data file (bad zip, short read, missing key/file) means the
+# stored state is unusable and resume must fall back to a fresh start.
+# Transient I/O errors (stale NFS handle, EINTR, EMFILE) are deliberately
+# NOT here — resetting on those would destroy hours of state that a plain
+# retry would have preserved; they propagate so the operator can retry.
+_LOAD_ERRORS = (zipfile.BadZipFile, KeyError, ValueError, EOFError,
+                FileNotFoundError)
 
 
 class CheckpointBusy(RuntimeError):
@@ -96,11 +101,20 @@ class Checkpoint:
             fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
         except ImportError:
             pass   # non-POSIX: no advisory locking available
-        except OSError:
-            os.close(fd)
-            raise CheckpointBusy(
-                f"checkpoint directory {self.dir} is locked by another "
-                "live run; refusing to share it")
+        except OSError as e:
+            import errno
+            if e.errno in (errno.EWOULDBLOCK, errno.EAGAIN, errno.EACCES):
+                os.close(fd)
+                raise CheckpointBusy(
+                    f"checkpoint directory {self.dir} is locked by another "
+                    "live run; refusing to share it")
+            # flock unsupported on this filesystem (ENOTSUP/ENOLCK on some
+            # NFS/overlay mounts): proceed unlocked rather than misreport
+            # the run as busy and silently lose checkpointing entirely
+            if self.log is not None:
+                self.log._log(
+                    f"Note: advisory locking unavailable on {self.dir} "
+                    f"({e}); proceeding without a checkpoint lock")
         Checkpoint._PROC_LOCKS[key] = fd
         return fd
 

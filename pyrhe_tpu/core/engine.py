@@ -238,8 +238,10 @@ class Engine:
         try:
             size = os.path.getsize(path)
             with open(path, "rb") as f:
-                for off in {0, max(0, size // 2 - 2**19),
-                            max(0, size - 2**20)}:
+                # sorted+deduped: the digest must not depend on set
+                # iteration order across Python implementations
+                for off in sorted({0, max(0, size // 2 - 2**19),
+                                   max(0, size - 2**20)}):
                     f.seek(off)
                     h.update(f.read(2**20))
         except OSError:

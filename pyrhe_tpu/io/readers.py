@@ -12,14 +12,29 @@ import pandas as pd
 
 
 def read_bim(filename: str) -> int:
-    """Count SNPs in a .bim file (reference file_processing.py:6-23 counts
-    every line, including comments; we count non-empty lines)."""
-    n = 0
+    """Count SNPs in a .bim file.
+
+    Exact parity with reference file_processing.py:6-23, which counts
+    EVERY line — including comments and blank lines (its `continue`
+    skips nothing: the counter was already incremented). M drives the
+    .bed decode geometry, so a silently inflated count would corrupt
+    every downstream genotype; we keep the reference's count but warn
+    loudly when non-data lines inflate it.
+    """
+    total = data = 0
     with open(filename, "r") as f:
         for line in f:
-            if line.strip():
-                n += 1
-    return n
+            total += 1
+            if line.strip() and not line.startswith("#"):
+                data += 1
+    if data != total:
+        import warnings
+        warnings.warn(
+            f"{filename}: {total - data} blank/comment line(s) counted as "
+            f"SNPs (M={total}) for parity with the reference's read_bim; "
+            f"if the .bed actually holds {data} SNPs the decode geometry "
+            f"will be wrong — clean the .bim", stacklevel=2)
+    return total
 
 
 def read_fam(filename: str):

@@ -518,6 +518,13 @@ class ShardedRunner:
                 if not streaming:
                     ck.stage_chunk(s, 1, self._local_slab(out[2][0]),
                                    self._local_slab(out[2][1]))
+                    # flush immediately: unlike the sequential path, these
+                    # slabs are FRESH host copies (not views of the engine's
+                    # stats cache), so letting the cadence accumulate them
+                    # in _pending would hold up to `every` GB-sized slabs
+                    # in host RAM. Each chunk file is written exactly once
+                    # either way; the cadence gates only totals/meta.
+                    ck.flush_pending()
                 if (s + 1 - start_s) % every == 0:
                     ck.save_totals(self._local_slab(totX),
                                    self._local_slab(toty), s + 1)
