@@ -163,16 +163,26 @@ def simulate_pheno_file(
     num_traits: int = 1,
     cov: np.ndarray | None = None,
     env: np.ndarray | None = None,
-    sigma_gxe: float = 0.0,
+    sigma_gxe=0.0,
+    sigma_nxe=0.0,
     binary: bool = False,
     write: bool = True,
 ):
-    """Simulate y = sum_k X_k beta_k (+ GxE) (+ cov effect) + e and write
-    `<prefix>.pheno`. Returns the (N, T) phenotype matrix.
+    """Simulate y = sum_k X_k beta_k (+ GxE) (+ NxE) (+ cov effect) + e and
+    write `<prefix>.pheno`. Returns the (N, T) phenotype matrix.
 
     Follows the reference's generative model (simulate_pheno.py:31-59,
     base.py:229-256): per-bin betas ~ N(0, sigma_k / M_k), residual variance
     1 - sum(sigma); with covariates a fixed unit effect is added.
+
+    `sigma_gxe` / `sigma_nxe` may be a scalar (applies to env column 0,
+    backward compatible) or a sequence with one value per env column:
+      GxE: y += env_e * (X_std @ gamma_e),  gamma_e ~ N(0, s_gxe[e]/M_k)
+      NxE: y += env_e * nu_e,               nu_e    ~ N(0, s_nxe[e] I)
+    which makes Var(y) = sum s_gxe[e] * diag(env_e) K diag(env_e)
+    + sum s_nxe[e] * diag(env_e^2) + ... — exactly GENIE's G+GxE+NxE
+    estimand (reference genie.py:53-84 kernel definitions), so the
+    estimates can be tested against the known truth.
     """
     from .readers import read_bim, read_fam
     from .bed import BedFile
@@ -186,6 +196,18 @@ def simulate_pheno_file(
     sigma_list = list(sigma_list)
     assert len(sigma_list) == num_bin
     len_bin = annot.sum(axis=0)
+
+    def _per_env(s):
+        """Scalar -> env column 0 only (backward compat); sequence -> one
+        value per env column."""
+        if env is None:
+            return []
+        if np.isscalar(s):
+            return [float(s)] + [0.0] * (env.shape[1] - 1)
+        s = [float(v) for v in s]
+        assert len(s) == env.shape[1], (len(s), env.shape[1])
+        return s
+    s_gxe, s_nxe = _per_env(sigma_gxe), _per_env(sigma_nxe)
 
     ys = np.zeros((num_indiv, num_traits))
     for t in range(num_traits):
@@ -211,12 +233,18 @@ def simulate_pheno_file(
                                   size=mask.sum())
                 contrib = gs[mask].T @ beta.astype(np.float32)
                 y += contrib
-                if env is not None and sigma_gxe > 0:
+                for e, s_e in enumerate(s_gxe):
+                    if s_e <= 0:
+                        continue
                     beta_gxe = rng.normal(
-                        0, np.sqrt(sigma_gxe / len_bin[k]), size=mask.sum())
-                    y += env[:, 0] * (gs[mask].T
+                        0, np.sqrt(s_e / len_bin[k]), size=mask.sum())
+                    y += env[:, e] * (gs[mask].T
                                       @ beta_gxe.astype(np.float32))
-        resid = max(1.0 - sum(sigma_list) - sigma_gxe, 0.05)
+        for e, s_e in enumerate(s_nxe):
+            if s_e > 0:
+                y += env[:, e] * rng.normal(0, np.sqrt(s_e),
+                                            size=num_indiv)
+        resid = max(1.0 - sum(sigma_list) - sum(s_gxe) - sum(s_nxe), 0.05)
         y += rng.normal(0, np.sqrt(resid), size=num_indiv)
         if cov is not None:
             y += cov @ np.ones(cov.shape[1]) * 0.05

@@ -194,3 +194,88 @@ def test_genie_multi_env(small_dataset, tmp_path):
     np.testing.assert_allclose(eng.M_mat, orc.Mmat)
     np.testing.assert_allclose(st_e, st_o, rtol=1e-7, atol=1e-9)
     np.testing.assert_allclose(sj_e, sj_o, rtol=1e-6, atol=1e-8)
+
+
+def test_genie_multi_env_simulation_recovery(tmp_path):
+    """Known-truth recovery: simulate y with DISTINCT sigma_gxe per env
+    (plus per-env NxE) and assert GENIE G+GxE+NxE recovers every
+    component within 2 jackknife-SE — and preserves the env ordering.
+
+    This guards the corrected GxE estimate indexing
+    (k_gxe = num_bin + e*num_bin + k, models/genie.py:5-8) against the
+    reference's collision for num_env > 1
+    (reference genie.py:65: (e+1)*k + num_bin), which the in-repo oracle
+    cannot catch alone since both sides implement the corrected layout.
+    A collision/swap would mix the two envs' very different variances.
+    """
+    from pyrhe_tpu.io import synth
+
+    Nr, Mr = 3000, 2000
+    truth_g, truth_gxe, truth_nxe = 0.25, (0.20, 0.05), (0.10, 0.20)
+    prefix = str(tmp_path / "rec")
+    synth.make_dataset(prefix, Nr, Mr, seed=21, missing_rate=0.0)
+    annot = synth.make_annot(str(tmp_path / "rec.annot"), Mr, 1, seed=21)
+    env = synth.make_env_file(str(tmp_path / "rec.env"), Nr, num_env=2,
+                              seed=21)
+    synth.simulate_pheno_file(prefix, prefix, [truth_g], annot, seed=22,
+                              env=env, sigma_gxe=truth_gxe,
+                              sigma_nxe=truth_nxe)
+
+    data = load_dataset(prefix, annot_file=str(tmp_path / "rec.annot"),
+                        pheno_file=prefix + ".pheno",
+                        env_file=prefix + ".env",
+                        num_random_vec=16, seed=5)
+    spec = ModelSpec.build("genie", "G+GxE+NxE", data.num_env)
+    cfg = RunConfig(num_random_vec=16, num_jack=8, seed=5, dtype="float64")
+    eng = Engine(data, spec, cfg)
+    eng.run_precompute_and_assemble()
+    sigma_jack, sigma_total = eng.estimate(0)
+    se = S.jackknife_se(sigma_jack, 8)
+
+    resid = 1.0 - truth_g - sum(truth_gxe) - sum(truth_nxe)
+    truth = np.array([truth_g, *truth_gxe, *truth_nxe, resid])
+    assert sigma_total.shape == truth.shape
+    # every component within 2 jackknife-SE of the simulated truth
+    # (all z < 1.1 for these seeds; 2 SE leaves margin without masking
+    # an index collision, which would move estimates by >> 2 SE)
+    np.testing.assert_array_less(np.abs(sigma_total - truth), 2 * se)
+    # distinct per-env values land in the right slots, in the right order
+    assert sigma_total[1] > sigma_total[2]     # gxe: env0 (0.20) > env1 (0.05)
+    assert sigma_total[4] > sigma_total[3]     # nxe: env1 (0.20) > env0 (0.10)
+
+
+@pytest.mark.parametrize("mm_mode,rtol_sig,rtol_h2", [
+    ("split2", 3e-4, 3e-4),     # documented ~1e-5 relative per matmul
+    ("bf16", 3e-2, 2e-2),       # documented ~1e-3 relative per matmul
+])
+def test_mm_mode_end_to_end_envelope(small_dataset, mm_mode, rtol_sig,
+                                     rtol_h2):
+    """End-to-end precision gate for the reduced-precision MXU modes
+    (ops/moments.py:21-28): a full estimation run (sigma AND h2) in
+    mm_mode must stay inside the documented envelope of the float64
+    exact run. Guards the dosage-exact bf16 insight (the genotype
+    operand is integer, exact in bf16; only the probe side loses bits)
+    against regressions anywhere in the pipeline, not just in the
+    kernel-level parity tests.
+    """
+    _, eng64 = run_engine(small_dataset, cov=True)
+    data = load_dataset(small_dataset["prefix"],
+                        annot_file=small_dataset["annot1_path"],
+                        pheno_file=small_dataset["pheno_path"],
+                        cov_file=small_dataset["cov_path"],
+                        num_random_vec=8, seed=7)
+    cfg = RunConfig(num_random_vec=8, num_jack=8, seed=7, dtype="float32",
+                    mm_mode=mm_mode)
+    eng = Engine(data, ModelSpec.build("rhe"), cfg)
+    eng.run_precompute_and_assemble()
+
+    sj64, st64 = eng64.estimate(0)
+    sj, st = eng.estimate(0)
+    scale = np.abs(st64).max()
+    np.testing.assert_allclose(st, st64, rtol=rtol_sig,
+                               atol=rtol_sig * scale)
+
+    h2_64 = S.h2_nonoverlapping(np.vstack([sj64, st64[None]]))
+    h2 = S.h2_nonoverlapping(np.vstack([sj, st[None]]))
+    np.testing.assert_allclose(h2[-1], h2_64[-1], rtol=rtol_h2,
+                               atol=rtol_h2 * np.abs(h2_64[-1]).max())
