@@ -38,6 +38,10 @@ def main():
     ap.add_argument("-s", "--seed", type=int, default=0)
     ap.add_argument("--num_workers", type=int, default=2)
     ap.add_argument("-o", "--output", default="ref.out")
+    ap.add_argument("--trace", action="store_true",
+                    help="export the reference's .MN/.tr trace sumstats "
+                         "(reference base.py:831-855)")
+    ap.add_argument("--trace_dir", default=None)
     args = ap.parse_args()
 
     from pyrhe.src.util import Logger  # noqa: E402
@@ -61,6 +65,8 @@ def main():
         num_workers=args.num_workers,
         seed=args.seed,
         log=log,
+        get_trace=args.trace,
+        trace_dir=args.trace_dir,
     )
     if args.model == "rhe":
         cls = StreamingRHE if args.streaming else RHE

@@ -86,6 +86,29 @@ def main():
             results.append((model, name, status, dt))
             print(f"{model}/{name}: {status} ({dt:.1f}s)", flush=True)
 
+    # --- trace sumstat goldens (reference base.py:831-855) -------------
+    # Non-streaming RHE configs only: the reference's trace path is
+    # exercised through its own get_trace_summary so the committed
+    # .MN/.tr files are format ground truth for SUMRHE consumers
+    # (test_golden_example.py diffs ours field-by-field against these).
+    if "rhe" in args.models.split(","):
+        for cfg in sorted(glob.glob(os.path.join(
+                EXAMPLE, "configs", "rhe", "no_streaming_*.txt"))):
+            name = os.path.splitext(os.path.basename(cfg))[0]
+            tracedir = os.path.join(OUTDIR, "trace", name)
+            os.makedirs(tracedir, exist_ok=True)
+            cmd = reference_cmd(cfg, os.path.join(tracedir, "_out.txt"))
+            cmd += ["--trace", "--trace_dir", tracedir]
+            t0 = time.time()
+            res = subprocess.run(cmd, cwd=EXAMPLE, capture_output=True,
+                                 text=True, timeout=args.timeout)
+            status = "ok" if res.returncode == 0 else "SKIPPED (crashed)"
+            out_txt = os.path.join(tracedir, "_out.txt")
+            if os.path.exists(out_txt):
+                os.remove(out_txt)   # estimates live in rhe/<name>.txt
+            results.append(("trace", name, status, time.time() - t0))
+            print(f"trace/{name}: {status}", flush=True)
+
     with open(os.path.join(OUTDIR, "README.md"), "w") as f:
         f.write(
             "# Reference-produced goldens\n\n"
