@@ -116,6 +116,11 @@ def build_parser():
     parser.add_argument('--stage_streams', type=int, default=0,
                         help='concurrent host->device staging transfers; '
                              '0 = auto (3 on accelerators, 1 on CPU)')
+    parser.add_argument('--cache_blocks', type=int, default=-1,
+                        help='stats-cache size in jackknife blocks '
+                             '(per device when sharded): -1 auto-fits '
+                             'the HBM budget (hybrid when short), 0 '
+                             'recomputes everything in pass 2')
     parser.add_argument('--host_cache_gb', type=float, default=-1.0,
                         help='host-RAM cache of cleaned packed blocks so '
                              'the streaming pass 2 skips the .bed re-read;'
@@ -193,6 +198,7 @@ def main(args):
         'checkpoint_every': args.checkpoint_every,
         'stage_streams': args.stage_streams,
         'host_cache_gb': args.host_cache_gb,
+        'cache_blocks': args.cache_blocks,
     }
 
     if args.model == "rhe":

@@ -245,6 +245,26 @@ class Checkpoint:
             return out
         return self._load_or_reset(_load)
 
+    def load_chunks_prefix(self, upto: int):
+        """[(j0, C, Xs, Ys)] for the longest loadable prefix of chunk
+        files covering blocks [0, upto). Unlike load_chunks, a missing or
+        corrupt file just ENDS the prefix instead of resetting state:
+        under the hybrid cache only the HBM-budgeted chunks have files on
+        disk, and the remainder is legitimately recomputed in pass 2."""
+        chunks, j = [], 0
+        while j < upto:
+            path = self._path(f"chunk_{j:06d}.npz")
+            if not os.path.exists(path):
+                break
+            try:
+                with np.load(path) as z:
+                    C = int(z["C"])
+                    chunks.append((j, C, z["Xs"], z["Ys"]))
+            except _LOAD_ERRORS:
+                break
+            j += C
+        return chunks
+
     def load_chunks(self, upto: int):
         """[(j0, C, Xs, Ys)] covering blocks [0, upto), in order, or None
         (state cleared) if any file is missing/corrupt."""

@@ -96,6 +96,13 @@ class RunConfig:
                                     # bench_staging.py): 1 stream 30 MB/s,
                                     # 3 streams 39 MB/s — the tunnel's
                                     # aggregate cap.
+    cache_blocks: int = -1          # stats-cache size override, in
+                                    # jackknife blocks (per device on the
+                                    # sharded path): -1 = auto (fit the
+                                    # HBM budget, hybrid when short), 0 =
+                                    # cache nothing (recompute pass 2),
+                                    # J = cache all. Ignored when
+                                    # streaming=True.
     host_cache_gb: float = -1.0     # host-RAM cache of cleaned packed
                                     # blocks so the streaming pass 2
                                     # restages from memory instead of
@@ -148,18 +155,46 @@ class Engine:
 
         self._dev = self._pick_device(cfg.device)
         self._setup_pallas()
-        # Auto-streaming: the non-streaming cache holds J blocks of
-        # (E_geno, N, b2) f32 on device; fall back to the (numerically
-        # identical) two-pass mode when that would not fit in HBM.
-        cache_bytes = (cfg.num_jack * self.E_geno
-                       * (data.num_indv * 4) * self.b2)
-        if (not cfg.streaming and self._dev.platform != "cpu"
+        # Cache sizing: the non-streaming cache holds J blocks of
+        # (E_geno, N, b2) stats on device. When the full cache would not
+        # fit in HBM, cache as many leading blocks as the budget allows
+        # and recompute only the remainder in pass 2 (HYBRID — the
+        # continuous version of the reference's all-or-nothing two-pass
+        # trade-off, base_streaming.py:85-144); fall back to full
+        # streaming only when not even a margin's worth of blocks fits.
+        dsize = 8 if self.dtype == jnp.float64 else 4
+        per_block = self.E_geno * (data.num_indv * dsize) * self.b2
+        cache_bytes = cfg.num_jack * per_block
+        # blocks of stats the HBM budget can hold alongside totals and
+        # working buffers (~4 block-equivalents: totals + staged chunks
+        # + scan workspace, consistent with the measured full-cache
+        # headroom documented at _hbm_budget)
+        fit = int(self._hbm_budget() // per_block) - 4
+        self.cache_limit = cfg.num_jack   # blocks pass 1 may cache
+        if not cfg.streaming and cfg.cache_blocks >= 0:
+            # explicit operator/test override of the hybrid split
+            self.cache_limit = int(cfg.cache_blocks)
+            if self.cache_limit < cfg.num_jack:
+                self.log._log(
+                    f"Note: stats cache capped at {self.cache_limit}/"
+                    f"{cfg.num_jack} blocks (--cache_blocks); the rest is "
+                    "recomputed in pass 2 (hybrid)")
+        elif (not cfg.streaming and self._dev.platform != "cpu"
                 and cache_bytes > self._hbm_budget()):
-            self.log._log(
-                f"Note: per-block stats cache (~{cache_bytes / 1e9:.1f} GB)"
-                " exceeds the device memory budget; using streaming"
-                " (two-pass) mode")
-            self.cfg = cfg = RunConfig(**{**cfg.__dict__, "streaming": True})
+            if self.use_pallas and fit >= max(1, self._chunk_size()):
+                self.cache_limit = fit
+                self.log._log(
+                    f"Note: per-block stats cache (~{cache_bytes / 1e9:.1f}"
+                    " GB) exceeds the device memory budget; caching "
+                    f"{fit}/{cfg.num_jack} blocks in HBM and recomputing "
+                    "the rest in pass 2 (hybrid)")
+            else:
+                self.log._log(
+                    f"Note: per-block stats cache (~{cache_bytes / 1e9:.1f}"
+                    " GB) exceeds the device memory budget; using"
+                    " streaming (two-pass) mode")
+                self.cfg = cfg = RunConfig(
+                    **{**cfg.__dict__, "streaming": True})
         self._ckpt = None
         if cfg.checkpoint_dir:
             from .checkpoint import Checkpoint, CheckpointBusy
@@ -628,9 +663,11 @@ class Engine:
             f"jackknife blocks already covered ({self.cfg.checkpoint_dir})")
         if not self.cfg.streaming:
             if chunked:
-                chunks = self._ckpt.load_chunks(start_j)
-                if chunks is None:   # corrupt/missing data file: fresh start
-                    return 0, None
+                # tolerant prefix load: under the hybrid cache only the
+                # HBM-budgeted chunks have files; anything not on disk is
+                # recomputed by the pass-2 walk (_assemble_chunked), so a
+                # partial prefix degrades throughput, never correctness
+                chunks = self._ckpt.load_chunks_prefix(start_j)
                 self._chunk_cache = [
                     (j0, C, jax.device_put(jnp.asarray(Xs, self.dtype),
                                            self._dev),
@@ -717,15 +754,17 @@ class Engine:
         self._scan_fns[keep_blocks] = run
         return run
 
-    def _iter_chunks(self, chunk: int, start_j: int = 0):
+    def _iter_chunks(self, chunk: int, start_j: int = 0,
+                     stop_j: int | None = None):
         """Yield (j0, packed (C,m_pad,nb), fill (C,m_pad), annot (C,m_pad,K))
-        stacked host chunks; the uneven last block (larger m_pad) comes out
-        as its own chunk of 1. start_j must be a chunk boundary from a
-        previous identical iteration (checkpoints only commit at chunk
-        boundaries), so resumed chunk boundaries reproduce exactly."""
+        stacked host chunks for blocks [start_j, stop_j); the uneven last
+        block (larger m_pad) comes out as its own chunk of 1. start_j must
+        be a chunk boundary from a previous identical iteration
+        (checkpoints only commit at chunk boundaries), so resumed chunk
+        boundaries reproduce exactly."""
         np_dt = np.float32 if self.dtype != jnp.float64 else np.float64
         buf, j0 = [], start_j
-        for j in range(start_j, self.J):
+        for j in range(start_j, self.J if stop_j is None else stop_j):
             t0 = time.perf_counter()
             geno, fill, mode = self._load_block(j)
             self._phase_add("host_read_s", time.perf_counter() - t0)
@@ -761,16 +800,26 @@ class Engine:
         return (self.envd if self.data.num_env else
                 jnp.zeros((self.N_work, 1), self.dtype))
 
-    def _chunked_stats_stream(self, keep: bool, start_j: int = 0,
-                              init_tot=None):
+    def _chunked_stats_stream(self, keep, start_j: int = 0,
+                              init_tot=None, stop_j: int | None = None):
         """Yield (j0, n_real, Xs, Ys, tot_X, tot_y) per chunk with host
         read+clean+stack prefetched one chunk ahead and totals carried on
-        device (Xs/Ys are None when not keep). The LAST yielded totals are
-        the grand totals. start_j/init_tot resume a checkpointed pass from
-        a chunk boundary with restored accumulators."""
+        device (Xs/Ys are None for unkept chunks). The LAST yielded totals
+        are the grand totals over [start_j, stop_j). start_j/init_tot
+        resume a checkpointed pass from a chunk boundary with restored
+        accumulators.
+
+        `keep` is True/False (keep all/none) or an int: the number of
+        blocks from start_j whose stats may be kept — the HYBRID budget.
+        A chunk is kept only if it fits entirely under the remaining
+        budget (mostly a prefix; a smaller trailing chunk may still
+        slip under it — consumers index kept chunks by j0, not by
+        contiguity)."""
         from concurrent.futures import ThreadPoolExecutor
 
-        run = self._chunk_scan_fn(keep)
+        keep_limit = (self.J if keep is True
+                      else 0 if keep is False else int(keep))
+        kept = 0
         env_arg = self._env_arg()
 
         def stage(item):
@@ -797,7 +846,7 @@ class Engine:
                               self.dtype)
             tot_y = jnp.zeros((self.E_geno, max(self.T_traits, 0)),
                               self.dtype)
-        it = self._iter_chunks(self._chunk_size(), start_j)
+        it = self._iter_chunks(self._chunk_size(), start_j, stop_j)
         depth = self._stage_depth()
         from collections import deque
         with ThreadPoolExecutor(max_workers=depth) as ex:
@@ -817,19 +866,28 @@ class Engine:
             while pending:
                 j0, C, packed_s, fill_s, annot_s = pending.popleft().result()
                 refill()
+                keep_c = kept + C <= keep_limit
+                kept += C if keep_c else 0
+                run = self._chunk_scan_fn(keep_c)
                 t0 = time.perf_counter()
                 (tot_X, tot_y), ys = run(packed_s, fill_s, annot_s,
                                          tot_X, tot_y, self.P, env_arg,
                                          self.valid_mask)
                 self._phase_add("scan_dispatch_s", time.perf_counter() - t0)
                 self.log._debug(f"chunk at block {j0} (+{C}) done")
-                yield (j0, C, ys[0] if keep else None,
-                       ys[1] if keep else None, tot_X, tot_y)
+                yield (j0, C, ys[0] if keep_c else None,
+                       ys[1] if keep_c else None, tot_X, tot_y)
 
     def _precompute_chunked(self):
         self._chunk_cache = []
-        keep = not self.cfg.streaming
         start_j, tot = self._ckpt_precompute_state(chunked=True)
+        # int budget: J = full cache, 0 = streaming, else hybrid — the
+        # stream keeps whole chunks while they fit and yields Xs=None
+        # beyond the budget. Chunks restored from a checkpoint count
+        # against the budget.
+        keep = (0 if self.cfg.streaming else
+                max(0, self.cache_limit
+                    - sum(C for _, C, _, _ in self._chunk_cache)))
         if tot is not None:
             self._tot = self._put_tot(tot)
         if start_j >= self.J:
@@ -838,7 +896,7 @@ class Engine:
         n_chunks = 0
         for j0, C, Xs, Ys, tot_X, tot_y in self._chunked_stats_stream(
                 keep, start_j=start_j, init_tot=tot):
-            if keep:
+            if Xs is not None:
                 self._chunk_cache.append((j0, C, Xs, Ys))
                 if self._ckpt:
                     self._ckpt.stage_chunk(j0, C, Xs, Ys)
@@ -931,16 +989,38 @@ class Engine:
 
         tot_XXP, tot_y, nxe_XXP, nxe_y, kw = self._assemble_args()
         Ts, qs = [], []
+
+        def asm(j0, C, Xs, Ys):
+            T, q = assemble_Tq_chunk(
+                tot_XXP, tot_y, Xs, Ys,
+                jnp.asarray(self.M_mat[j0:j0 + C]), nxe_XXP, nxe_y,
+                self.Zd, self.Uzbd, self.Cd, self.Qd,
+                self.q_last, self.stoch_mask, **kw)
+            Ts.append(T)
+            qs.append(q)
+
         if not self.cfg.streaming:
-            while self._chunk_cache:
-                j0, C, Xs, Ys = self._chunk_cache.pop(0)
-                T, q = assemble_Tq_chunk(
-                    tot_XXP, tot_y, Xs, Ys,
-                    jnp.asarray(self.M_mat[j0:j0 + C]), nxe_XXP, nxe_y,
-                    self.Zd, self.Uzbd, self.Cd, self.Qd,
-                    self.q_last, self.stoch_mask, **kw)
-                Ts.append(T)
-                qs.append(q)
+            # Walk blocks in order, consuming HBM-cached chunks where they
+            # exist and recomputing (restage + stats) the gaps — the HYBRID
+            # middle ground between full-cache (everything cached, no gap)
+            # and streaming (nothing cached, one full-range gap). Cached
+            # entries are popped as assembled so peak HBM stays at one
+            # cache copy. Bit-identical to both extremes: per-block stats
+            # do not depend on which pass computes them.
+            cached = {j0: (C, Xs, Ys) for j0, C, Xs, Ys in self._chunk_cache}
+            self._chunk_cache = []
+            j = 0
+            while j < self.J:
+                if j in cached:
+                    C, Xs, Ys = cached.pop(j)
+                    asm(j, C, Xs, Ys)
+                    j += C
+                else:
+                    stop = min(cached, default=self.J)
+                    for j0, C, Xs, Ys, _, _ in self._chunked_stats_stream(
+                            True, start_j=j, stop_j=stop):
+                        asm(j0, C, Xs, Ys)
+                    j = stop
         else:
             # streaming: one dispatch per recomputed chunk, O(chunk) memory
             start_j = self._ckpt_assemble_state(Ts, qs)

@@ -58,6 +58,7 @@ class BaseModel:
         checkpoint_every: int = 1,
         stage_streams: int = 0,
         host_cache_gb: float = -1.0,
+        cache_blocks: int = -1,
     ):
         self.log = log or Logger(debug_mode=False)
         seed = 0 if seed is None else int(seed)
@@ -110,6 +111,7 @@ class BaseModel:
             checkpoint_every=checkpoint_every,
             stage_streams=stage_streams,
             host_cache_gb=host_cache_gb,
+            cache_blocks=cache_blocks,
         )
         self.engine = Engine(self.data, self.spec, self.cfg, self.log)
         self._computed = False

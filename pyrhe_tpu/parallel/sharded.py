@@ -189,8 +189,9 @@ class ShardedRunner:
                        float(sum(x.size * x.dtype.itemsize for x in out)))
         return out
 
-    def _staged_supersteps(self, start_s: int = 0):
-        """Yield (s, staged chunk) for supersteps [start_s, S) with up to
+    def _staged_supersteps(self, start_s: int = 0,
+                           stop_s: int | None = None):
+        """Yield (s, staged chunk) for supersteps [start_s, stop_s) with up to
         `depth` concurrent host->device transfer streams in flight (a
         single stream does not saturate tunneled links — measured in
         scripts/bench_staging.py; same design as the sequential engine's
@@ -200,7 +201,8 @@ class ShardedRunner:
 
         np_dt = np.float64 if self.eng.dtype == jnp.float64 else np.float32
         depth = self.eng._stage_depth()
-        steps = iter(range(start_s, self.plan.S))
+        steps = iter(range(start_s, self.plan.S if stop_s is None
+                           else stop_s))
         with ThreadPoolExecutor(max_workers=depth) as ex:
             pending: deque = deque()
 
@@ -227,7 +229,7 @@ class ShardedRunner:
     # fingerprint-gated like the sequential path plus the superstep plan
     # (a changed mesh/chunking re-partitions slots, so stored slabs only
     # resume under the same plan). Units are SUPERSTEPS, not blocks.
-    def _make_ckpt(self, streaming: bool):
+    def _make_ckpt(self, s_keep: int):
         eng = self.eng
         if not eng.cfg.checkpoint_dir:
             return None
@@ -237,7 +239,12 @@ class ShardedRunner:
         pl = self.plan
         fp = dict(eng._fingerprint())
         fp.update({"sharded_plan": [pl.D, pl.C, pl.S, pl.J_loc, pl.J_pad],
-                   "process": [pid, n], "streaming_eff": bool(streaming)})
+                   # the cache split (s_keep) is deliberately NOT part of
+                   # the fingerprint: stats content does not depend on it,
+                   # and the tolerant prefix load + recompute walk make a
+                   # checkpoint written under one split resumable under
+                   # any other (only throughput differs)
+                   "process": [pid, n]})
         try:
             return Checkpoint(sub, fp, eng.log)
         except CheckpointBusy as e:
@@ -256,10 +263,12 @@ class ShardedRunner:
         return jax.make_array_from_process_local_data(
             self.sh_block, np.asarray(slab), tuple(global_shape))
 
-    def _ckpt_pass1_state(self, ck, streaming, totX, toty, cache):
+    def _ckpt_pass1_state(self, ck, s_keep, totX, toty, cache):
         """Resume bookkeeping for pass 1. Returns (start_s, totX, toty)
-        and, in cached mode, refills `cache` with the per-superstep stats
-        arrays re-staged from the local slabs."""
+        and refills the `cache` dict with per-superstep stats arrays
+        re-staged from the local slabs — tolerant prefix load: under the
+        hybrid split only supersteps < s_keep have slab files, and a
+        shorter-than-expected prefix just means pass 2 recomputes more."""
         if ck is None:
             return 0, totX, toty
         st = ck.state()
@@ -273,17 +282,15 @@ class ShardedRunner:
         if start_s <= 0:
             return 0, totX, toty
         pl, eng = self.plan, self.eng
-        if not streaming:
-            chunks = ck.load_chunks(start_s)
-            if chunks is None:   # corrupt/missing slab: fresh start
-                return 0, totX, toty
+        if s_keep > 0:
             T_traits = max(eng.T_traits, 0)
-            for _s, _C, bX, by in chunks:
-                cache.append((
+            for s, _C, bX, by in ck.load_chunks_prefix(
+                    min(start_s, s_keep)):
+                cache[s] = (
                     self._from_slab(bX, (pl.D * pl.C, eng.E_geno,
                                          eng.N_work, eng.b2)),
                     self._from_slab(by, (pl.D * pl.C, eng.E_geno,
-                                         T_traits))))
+                                         T_traits)))
         totX = self._from_slab(ld[0], totX.shape)
         toty = self._from_slab(ld[1], toty.shape)
         eng.log._log(
@@ -378,14 +385,16 @@ class ShardedRunner:
 
         return jax.lax.scan(body, (totX, toty), chunk)
 
-    def _build_steps(self, streaming: bool):
-        """Jitted global functions:
+    def _build_steps(self):
+        """Jitted global functions (all variants; jit compiles lazily so
+        only the ones the cache split actually dispatches cost anything):
 
-        stats_step: pass 1 superstep — per-device scan, carried partial
-            totals (+ per-block stats cache when not streaming)
-        asm_step:   pass 2 superstep — leave-one-out + normal equations on
-            the owning device; streaming recomputes the chunk's stats
-            inside the dispatch from re-staged bytes
+        stats_keep/stats_drop: pass 1 superstep — per-device scan,
+            carried partial totals; `keep` additionally returns the
+            per-block stats slab for the HBM cache
+        asm_cached: pass 2 superstep from a cached slab
+        asm_recomp: pass 2 superstep recomputing the slab's stats inside
+            the dispatch from re-staged bytes
         finalize:   partial-totals reduction -> replicated grand totals
         """
         eng = self.eng
@@ -396,21 +405,22 @@ class ShardedRunner:
         blk, repl = P(self.axis), P()
         smap = partial(jax.shard_map, mesh=self.mesh, check_vma=False)
 
-        def stats_body(geno_c, fill_c, annot_c, totX, toty, P_mat, env,
-                       mask):
-            # per-device views: geno_c (C, m_pad, W); totX (1, E, N, b2)
-            (tX, ty), ys = self._scan_stats(core, (geno_c, fill_c, annot_c),
-                                            P_mat, env, mask, totX[0],
-                                            toty[0], keep=not streaming)
-            if streaming:
-                return tX[None], ty[None]
-            return tX[None], ty[None], ys
+        def make_stats(keep):
+            def stats_body(geno_c, fill_c, annot_c, totX, toty, P_mat,
+                           env, mask):
+                # per-device views: geno_c (C, m_pad, W); totX (1,E,N,b2)
+                (tX, ty), ys = self._scan_stats(
+                    core, (geno_c, fill_c, annot_c), P_mat, env, mask,
+                    totX[0], toty[0], keep=keep)
+                if not keep:
+                    return tX[None], ty[None]
+                return tX[None], ty[None], ys
 
-        stats_step = jax.jit(smap(
-            stats_body,
-            in_specs=(blk, blk, blk, blk, blk, repl, repl, repl),
-            out_specs=(blk, blk) if streaming else (blk, blk, blk)),
-            donate_argnums=(3, 4))
+            return jax.jit(smap(
+                stats_body,
+                in_specs=(blk, blk, blk, blk, blk, repl, repl, repl),
+                out_specs=(blk, blk, blk) if keep else (blk, blk)),
+                donate_argnums=(3, 4))
 
         def asm_tail(bX, by, M_rows, totX, toty, nxeX, nxey, Z, Uzb, C_mat,
                      Q, q_last, stoch):
@@ -419,7 +429,7 @@ class ShardedRunner:
                 C_mat if use_cov else None, Q if use_cov else None,
                 q_last, stoch, **asm_kw)
 
-        if streaming:
+        def make_asm_recomp():
             def asm_body(geno_c, fill_c, annot_c, M_rows, totX, toty, nxeX,
                          nxey, Z, Uzb, C_mat, Q, q_last, stoch, P_mat, env,
                          mask):
@@ -429,28 +439,38 @@ class ShardedRunner:
                 return asm_tail(bX, by, M_rows, totX, toty, nxeX, nxey, Z,
                                 Uzb, C_mat, Q, q_last, stoch)
 
-            asm_step = jax.jit(smap(
+            return jax.jit(smap(
                 asm_body,
                 in_specs=(blk, blk, blk, blk) + (repl,) * 13,
                 out_specs=(blk, blk)))
-        else:
+
+        def make_asm_cached():
             def asm_body(bX, by, M_rows, totX, toty, nxeX, nxey, Z, Uzb,
                          C_mat, Q, q_last, stoch):
                 return asm_tail(bX, by, M_rows, totX, toty, nxeX, nxey, Z,
                                 Uzb, C_mat, Q, q_last, stoch)
 
-            asm_step = jax.jit(smap(
+            return jax.jit(smap(
                 asm_body,
                 in_specs=(blk, blk, blk) + (repl,) * 10,
                 out_specs=(blk, blk)),
                 donate_argnums=(0, 1))
+
+        # all four are built unconditionally: jit compiles lazily, so the
+        # unused variants cost nothing, and a resume whose cache prefix
+        # loaded short may need asm_recomp even when s_keep == S
+        stats_keep = make_stats(True)
+        stats_drop = make_stats(False)
+        asm_cached = make_asm_cached()
+        asm_recomp = make_asm_recomp()
 
         finalize = jax.jit(
             lambda tX, ty: (tX.sum(0), ty.sum(0)),
             out_shardings=(self.sh_repl, self.sh_repl))
 
         full_sample = jax.jit(asm_tail)
-        return stats_step, asm_step, finalize, full_sample
+        return (stats_keep, stats_drop, asm_cached, asm_recomp, finalize,
+                full_sample)
 
     # ------------------------------------------------------------------ run
     def run(self):
@@ -458,8 +478,8 @@ class ShardedRunner:
         of shape (J+1, E+1, E+1) / (J+1, E+1, T) on every process."""
         eng = self.eng
         pl = self.plan
-        streaming = bool(eng.cfg.streaming) or self._auto_streaming()
-        ck = self._make_ckpt(streaming)
+        s_keep = self._cache_supersteps()
+        ck = self._make_ckpt(s_keep)
         if ck is not None:
             st = ck.state()
             if st is not None and st[0] == "done":
@@ -470,8 +490,8 @@ class ShardedRunner:
                         f"({ck.dir}); skipping both passes")
                     return res
         every = max(1, eng.cfg.checkpoint_every)
-        (stats_step, asm_step, finalize,
-         full_sample) = self._build_steps(streaming)
+        (stats_keep, stats_drop, asm_cached, asm_recomp, finalize,
+         full_sample) = self._build_steps()
 
         # replicated small arrays
         P_mat = self._replicated(eng.P)
@@ -503,19 +523,21 @@ class ShardedRunner:
             self.sh_block)
 
         # ---- pass 1: supersteps, concurrent staging streams ---------------
-        cache = []
-        start_s, totX, toty = self._ckpt_pass1_state(ck, streaming, totX,
+        cache: dict = {}     # s -> (bX, by) for the s_keep cached supersteps
+        start_s, totX, toty = self._ckpt_pass1_state(ck, s_keep, totX,
                                                      toty, cache)
         for s, chunk in self._staged_supersteps(start_s):
+            keep_s = s < s_keep
             t0 = time.perf_counter()
-            out = stats_step(*chunk, totX, toty, P_mat, env, mask)
+            step = stats_keep if keep_s else stats_drop
+            out = step(*chunk, totX, toty, P_mat, env, mask)
             totX, toty = out[0], out[1]
-            if not streaming:
-                cache.append(out[2])
+            if keep_s:
+                cache[s] = out[2]
             del chunk
             eng._phase_add("scan_dispatch_s", time.perf_counter() - t0)
             if ck is not None:
-                if not streaming:
+                if keep_s:
                     ck.stage_chunk(s, 1, self._local_slab(out[2][0]),
                                    self._local_slab(out[2][1]))
                     # flush immediately: unlike the sequential path, these
@@ -549,28 +571,41 @@ class ShardedRunner:
                 ck.save_assemble(np.stack(Ts_loc), np.stack(qs_loc), s + 1)
                 ck.commit("assemble", s + 1)
 
-        if streaming:
-            for s, chunk in self._staged_supersteps(start2):
-                t0 = time.perf_counter()
-                T_c, q_c = asm_step(*chunk, self._superstep_M_rows(s),
-                                    totX_r, toty_r, *small, P_mat, env,
-                                    mask)
-                Ts.append(T_c)
-                qs.append(q_c)
-                del chunk
-                eng._phase_add("scan_dispatch_s", time.perf_counter() - t0)
-                if ck is not None:
-                    _ckpt_pass2_save(s)
-        else:
-            for s in range(start2, pl.S):
-                bX, by = cache[s]
-                cache[s] = None
-                T_c, q_c = asm_step(bX, by, self._superstep_M_rows(s),
-                                    totX_r, toty_r, *small)
+        # Walk supersteps in order: cached ones assemble from their HBM
+        # slabs (popped so peak memory stays at one cache copy); gaps —
+        # the unkept hybrid tail, or cache entries a resume could not
+        # reload — recompute their stats inside the dispatch from
+        # re-staged bytes. s_keep == S is the pure cached mode, 0 pure
+        # streaming, in between the HYBRID split; per-superstep stats are
+        # identical whichever pass computes them, so the estimates are
+        # bit-identical across all three.
+        s = start2
+        while s < pl.S:
+            if s in cache:
+                bX, by = cache.pop(s)
+                T_c, q_c = asm_cached(bX, by, self._superstep_M_rows(s),
+                                      totX_r, toty_r, *small)
                 Ts.append(T_c)
                 qs.append(q_c)
                 if ck is not None:
                     _ckpt_pass2_save(s)
+                s += 1
+            else:
+                stop = min((k for k in cache if k > s), default=pl.S)
+                for s2, chunk in self._staged_supersteps(s, stop):
+                    t0 = time.perf_counter()
+                    T_c, q_c = asm_recomp(*chunk,
+                                          self._superstep_M_rows(s2),
+                                          totX_r, toty_r, *small, P_mat,
+                                          env, mask)
+                    Ts.append(T_c)
+                    qs.append(q_c)
+                    del chunk
+                    eng._phase_add("scan_dispatch_s",
+                                   time.perf_counter() - t0)
+                    if ck is not None:
+                        _ckpt_pass2_save(s2)
+                s = stop
 
         # full-data sample: zero block against the totals
         dummyX = self._replicated(
@@ -602,15 +637,35 @@ class ShardedRunner:
             ck.commit("done", pl.S)
         return T_all, q_all
 
-    def _auto_streaming(self) -> bool:
-        """Streaming when the per-DEVICE stats cache would not fit."""
+    def _cache_supersteps(self) -> int:
+        """Supersteps whose per-device stats slabs pass 1 may keep in HBM:
+        plan.S = full cache, 0 = streaming, in between = HYBRID (pass 2
+        recomputes only the unkept tail — the sharded twin of the
+        engine's cache_limit; see Engine.__init__ cache sizing)."""
         eng = self.eng
         pl = self.plan
-        cache_bytes = pl.J_loc * eng.E_geno * eng.N_work * eng.b2 * 4
-        if eng._dev.platform != "cpu" and cache_bytes > eng._hbm_budget():
-            eng.log._log(
-                f"Note: per-device stats cache (~{cache_bytes / 1e9:.1f} "
-                "GB) exceeds the device budget; sharded run uses "
-                "streaming (recompute) pass 2")
-            return True
-        return False
+        if eng.cfg.streaming:
+            return 0
+        if eng.cfg.cache_blocks >= 0:
+            # explicit per-device block budget (--cache_blocks)
+            s_keep = max(0, min(pl.S, eng.cfg.cache_blocks // pl.C))
+            if s_keep < pl.S:
+                eng.log._log(
+                    f"Note: sharded stats cache capped at {s_keep}/"
+                    f"{pl.S} supersteps (--cache_blocks); the rest is "
+                    "recomputed in pass 2 (hybrid)")
+            return s_keep
+        dsize = 8 if eng.dtype == jnp.float64 else 4
+        per_block = eng.E_geno * eng.N_work * eng.b2 * dsize
+        cache_bytes = pl.J_loc * per_block
+        if eng._dev.platform == "cpu" or cache_bytes <= eng._hbm_budget():
+            return pl.S
+        # same ~4-block working-set reserve as the sequential engine
+        fit = int(eng._hbm_budget() // per_block) - 4
+        s_keep = max(0, min(pl.S, fit // pl.C))
+        eng.log._log(
+            f"Note: per-device stats cache (~{cache_bytes / 1e9:.1f} GB) "
+            f"exceeds the device budget; caching {s_keep}/{pl.S} "
+            "supersteps and recomputing the rest in pass 2"
+            + (" (streaming)" if s_keep == 0 else " (hybrid)"))
+        return s_keep

@@ -54,3 +54,61 @@ def test_pallas_binary_impute_fills_match(small_dataset):
         m = len(fill_j)
         np.testing.assert_array_equal(fill_p[:m], fill_j)
         assert np.all(fill_p[m:] == 0)
+
+
+def test_hybrid_cache_matches_full_and_streaming(small_dataset,
+                                                 monkeypatch):
+    """Sequential chunked path with a partial stats cache
+    (cfg.cache_blocks): cached chunks assemble from HBM, the rest is
+    recomputed — bit-identical to both the fully-cached and the
+    streaming runs (core/engine.py hybrid walk)."""
+    from pyrhe_tpu.core.engine import Engine as Eng
+
+    monkeypatch.setattr(Eng, "_chunk_size", lambda self: 1)
+
+    def mk(**kw):
+        ds = small_dataset
+        data = load_dataset(ds["prefix"], annot_file=ds["annot1_path"],
+                            pheno_file=ds["pheno_path"],
+                            num_random_vec=4, seed=7)
+        cfg = RunConfig(num_random_vec=4, num_jack=4, seed=7,
+                        dtype="float32", mm_mode="exact",
+                        use_pallas=True, **kw)
+        eng = Engine(data, ModelSpec.build("rhe"), cfg)
+        eng.run_precompute_and_assemble()
+        return eng
+
+    eng_full = mk()
+    eng_h = mk(cache_blocks=2)
+    eng_s = mk(streaming=True)
+    assert eng_h.cache_limit == 2 and eng_full.cache_limit == 4
+    np.testing.assert_array_equal(eng_h.T_all, eng_full.T_all)
+    np.testing.assert_array_equal(eng_h.q_all, eng_full.q_all)
+    np.testing.assert_array_equal(np.asarray(eng_s.T_all),
+                                  np.asarray(eng_full.T_all))
+
+
+def test_hybrid_zero_cache_equals_streaming_walk(small_dataset,
+                                                 monkeypatch):
+    """cache_blocks=0 without streaming: the walk recomputes every chunk
+    in pass 2 — still bit-identical."""
+    from pyrhe_tpu.core.engine import Engine as Eng
+
+    monkeypatch.setattr(Eng, "_chunk_size", lambda self: 2)
+
+    def mk(**kw):
+        ds = small_dataset
+        data = load_dataset(ds["prefix"], annot_file=ds["annot1_path"],
+                            pheno_file=ds["pheno_path"],
+                            num_random_vec=4, seed=7)
+        cfg = RunConfig(num_random_vec=4, num_jack=4, seed=7,
+                        dtype="float32", mm_mode="exact",
+                        use_pallas=True, **kw)
+        eng = Engine(data, ModelSpec.build("rhe"), cfg)
+        eng.run_precompute_and_assemble()
+        return eng
+
+    eng_full = mk()
+    eng_z = mk(cache_blocks=0)
+    np.testing.assert_array_equal(eng_z.T_all, eng_full.T_all)
+    np.testing.assert_array_equal(eng_z.q_all, eng_full.q_all)

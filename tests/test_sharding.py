@@ -308,3 +308,47 @@ def test_sharded_streaming_host_cache(small_dataset, monkeypatch):
     assert on.phase_times.get("host_cache_hits", 0) > 0
     np.testing.assert_array_equal(on.T_all, off.T_all)
     np.testing.assert_array_equal(on.q_all, off.q_all)
+
+
+def test_sharded_hybrid_matches_cached(small_dataset, monkeypatch):
+    """cache_blocks strictly between 0 and J_loc: leading supersteps
+    assemble from the HBM cache, the tail is recomputed from re-staged
+    bytes — bit-identical to the fully-cached run (parallel/sharded.py
+    hybrid walk), with pass 2 restaging ONLY the unkept tail."""
+    _multi_superstep_plan(monkeypatch)
+    mk = _engines(small_dataset, cov=True, J=6)
+    eng_c = mk()
+    eng_c.run_sharded(make_mesh(2))            # J_loc=3, S=3 (C=1)
+    staged = _spy_staging(monkeypatch)
+    eng_h = mk()
+    eng_h.cfg.cache_blocks = 2                 # cache 2/3 supersteps
+    eng_h.run_sharded(make_mesh(2))
+    # pass 1 stages all supersteps; pass 2 restages only the unkept s=2
+    assert staged == [0, 1, 2, 2], staged
+    np.testing.assert_array_equal(eng_h.T_all, eng_c.T_all)
+    np.testing.assert_array_equal(eng_h.q_all, eng_c.q_all)
+
+
+def test_sharded_kill_resume_hybrid(small_dataset, tmp_path, monkeypatch):
+    """Kill a hybrid (partial-cache) sharded run mid-pass-1; the resumed
+    run reloads the cached slab prefix (load_chunks_prefix), recomputes
+    the unkept tail, and reproduces the uninterrupted run bit-exactly."""
+    _multi_superstep_plan(monkeypatch)
+    ck = str(tmp_path / "ck")
+    mk_plain = _ck_engines(small_dataset)
+    base = mk_plain()
+    base.cfg.cache_blocks = 1                  # s_keep=1 of S=3
+    base.run_sharded(make_mesh(2))
+
+    mk = _ck_engines(small_dataset, ck)
+    with monkeypatch.context() as m:
+        _crash_after_commits(m, 2)
+        eng = mk()
+        eng.cfg.cache_blocks = 1
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            eng.run_sharded(make_mesh(2))
+    eng2 = mk()
+    eng2.cfg.cache_blocks = 1
+    eng2.run_sharded(make_mesh(2))
+    np.testing.assert_array_equal(eng2.T_all, base.T_all)
+    np.testing.assert_array_equal(eng2.q_all, base.q_all)
