@@ -41,6 +41,8 @@ def main():
                     help="crash-safe resume snapshots for the long "
                          "target-scale runs (BASELINE N=300k/M=500k)")
     ap.add_argument("--stage_streams", type=int, default=0)
+    ap.add_argument("--cache_blocks", type=int, default=-1,
+                    help="hybrid stats-cache split (RunConfig.cache_blocks)")
     args = ap.parse_args()
 
     import jax
@@ -78,6 +80,7 @@ def main():
     eng = Engine(data, spec, RunConfig(num_random_vec=args.k,
                                        num_jack=args.jn, seed=1,
                                        streaming=args.streaming,
+                                       cache_blocks=args.cache_blocks,
                                        checkpoint_dir=args.checkpoint_dir,
                                        stage_streams=args.stage_streams))
     times["load+init"] = time.time() - t0
