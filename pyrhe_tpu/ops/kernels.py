@@ -181,11 +181,19 @@ def _gp_kernel(packed_ref, fill_ref, c_ref, out_ref, *, dtype, square,
 
 
 def _ytg_kernel(packed_ref, fill_ref, yt_ref, out_ref, *, dtype, square,
-                split, clean, word):
+                split, clean, word, planewise=True):
     """Transposed stage 2: out (Q, tn) += y^T g. Feeding the SMALL operand
     pre-transposed keeps every MXU pass in native (M,K)@(K,N) form — no
     relayout of the big decoded tile (a g^T@Y formulation would pay a
-    ((0,),(0,)) contraction, i.e. a transpose of g, per tile)."""
+    ((0,),(0,)) contraction, i.e. a transpose of g, per tile).
+
+    planewise=True: one (Q, tm)@(tm, tnb) dot per bit-plane, decode
+    overlapping the previous plane's MXU pass. planewise=False:
+    concatenate the decoded planes into the full (tm, tn) tile and issue
+    ONE wide dot — the plane order of the lanes IS the output layout, so
+    the concat needs no relayout, and the MXU streams a tn-wide rhs
+    instead of 16 tnb-wide passes (measured faster on the wide
+    production shapes; see scripts/bench_kernels.py BK_PLANEWISE)."""
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -194,10 +202,14 @@ def _ytg_kernel(packed_ref, fill_ref, yt_ref, out_ref, *, dtype, square,
 
     tnb = packed_ref.shape[1]
     yt = yt_ref[:]
-    for p, g in enumerate(_plane_iter(packed_ref, fill_ref, dtype,
-                                      square, clean, word)):
-        out_ref[:, p * tnb:(p + 1) * tnb] += _dots(
-            yt, g, ((1,), (0,)), split, dtype)
+    planes = _plane_iter(packed_ref, fill_ref, dtype, square, clean, word)
+    if planewise:
+        for p, g in enumerate(planes):
+            out_ref[:, p * tnb:(p + 1) * tnb] += _dots(
+                yt, g, ((1,), (0,)), split, dtype)
+    else:
+        g = jnp.concatenate(list(planes), axis=1)        # (tm, tn)
+        out_ref[:] += _dots(yt, g, ((1,), (0,)), split, dtype)
 
 
 def _compiler_params(interpret, semantics):
@@ -260,9 +272,10 @@ def gp_matmul(packed, fill, C_perm, *, tm=256, tn=512, dtype=jnp.bfloat16,
 
 @functools.partial(jax.jit, static_argnames=("tm", "tn", "dtype",
                                              "interpret", "square",
-                                             "clean", "word"))
+                                             "clean", "word", "planewise"))
 def ytg_matmul(packed, fill, Yt, *, tm=256, tn=512, dtype=jnp.bfloat16,
-               interpret=False, square=False, clean=False, word=False):
+               interpret=False, square=False, clean=False, word=False,
+               planewise=True):
     """XXG^T = Y^T @ g with in-kernel decode (transposed stage 2).
     Pre-transposing the SMALL (m, Q) operand to (Q, m) keeps the MXU pass
     in native (M,K)@(K,N) form so the big decoded tile is never
@@ -281,7 +294,8 @@ def ytg_matmul(packed, fill, Yt, *, tm=256, tn=512, dtype=jnp.bfloat16,
     grid = (n_pad // tn, m_pad // tm)
     return pl.pallas_call(
         functools.partial(_ytg_kernel, dtype=dtype, square=square,
-                          split=False, clean=clean, word=word),
+                          split=False, clean=clean, word=word,
+                          planewise=planewise),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tm, tnb), lambda j, i: (i, j),

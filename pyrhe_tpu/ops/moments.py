@@ -235,6 +235,7 @@ def block_stats_pallas_core(
     tm: int = 256,
     tn: int = 512,
     word: bool = False,
+    ytg_planewise: bool = True,
 ):
     """block_stats via the fused decode+matmul Pallas kernels
     (ops/kernels.py). Inputs follow the plane-permutation contract; the
@@ -284,7 +285,7 @@ def block_stats_pallas_core(
             out = ytg_matmul(packed, fill2, _hilo(Yt, 0), tm=tm, tn=tn,
                              dtype=kernel_dtype, interpret=interpret,
                              square=(which == "g2"), clean=clean,
-                             word=word)
+                             word=word, planewise=ytg_planewise)
             Q = Yt.shape[0]
             return (out[:Q] + out[Q:]).astype(dtype)
         # _ytg_kernel uses the lhs operand as-is (only the rhs is cast);
@@ -292,7 +293,8 @@ def block_stats_pallas_core(
         return ytg_matmul(packed, fill2, Yt.astype(kernel_dtype),
                           tm=tm, tn=tn, dtype=kernel_dtype,
                           interpret=interpret, square=(which == "g2"),
-                          clean=clean, word=word).astype(dtype)
+                          clean=clean, word=word,
+                          planewise=ytg_planewise).astype(dtype)
 
     return _moment_algebra(run1, run2, N, annot_f, P_perm, env_perm,
                            n_indiv=n_indiv, components=components, b2=b2,
@@ -302,7 +304,8 @@ def block_stats_pallas_core(
 block_stats_pallas = partial(
     jax.jit,
     static_argnames=("n_indiv", "components", "b2", "dtype", "kernel_dtype",
-                     "mm_split", "clean", "interpret", "tm", "tn", "word"),
+                     "mm_split", "clean", "interpret", "tm", "tn", "word",
+                     "ytg_planewise"),
 )(block_stats_pallas_core)
 
 

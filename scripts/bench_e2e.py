@@ -43,6 +43,11 @@ def main():
     ap.add_argument("--stage_streams", type=int, default=0)
     ap.add_argument("--cache_blocks", type=int, default=-1,
                     help="hybrid stats-cache split (RunConfig.cache_blocks)")
+    ap.add_argument("--cold_read", action="store_true",
+                    help="drop the OS page cache before the run so host "
+                         ".bed reads hit real storage (root only; "
+                         "validates the projection table's storage "
+                         "variable, docs/design/perf.md)")
     args = ap.parse_args()
 
     import jax
@@ -71,6 +76,19 @@ def main():
     _ = jax.device_get(jax.device_put(np.ones(4, np.float32),
                                       jax.devices()[0]))
     times["warmup"] = time.time() - t0
+
+    if args.cold_read:
+        # measured-cold contract: every .bed byte of this run comes off
+        # storage, not the page cache (sync first so dirty pages cannot
+        # satisfy reads either)
+        os.system("sync")
+        try:
+            with open("/proc/sys/vm/drop_caches", "w") as f:
+                f.write("3\n")
+        except OSError as e:
+            print(f"WARNING: could not drop caches ({e}); "
+                  "cold_read row would be invalid", file=sys.stderr)
+            return 1
 
     t0 = time.time()
     data = load_dataset(prefix, annot_file=prefix + ".annot",
@@ -103,6 +121,7 @@ def main():
     print(json.dumps({
         "N": args.N, "M": args.M, "k": args.k, "J": args.jn,
         "model": args.model, "streaming": args.streaming,
+        "cache_blocks": args.cache_blocks, "cold_read": args.cold_read,
         "backend": jax.devices()[0].platform,
         "sigma": np.round(st, 5).tolist(),
         "phases_s": {k: round(v, 2) for k, v in times.items()},

@@ -48,7 +48,8 @@ def main():
     T = 1
     b2 = B * (2 if use_cov else 1)
     Bp = b2 + T
-    tm, tn = 512, 2048
+    tm = int(os.environ.get("BK_TM", 512))
+    tn = int(os.environ.get("BK_TN", 2048))
     S_short, S_long = (4, 16) if on_tpu else (2, 4)
     peak_tf = float(os.environ.get("PEAK_TFLOPS", 197))
     peak_gbs = float(os.environ.get("PEAK_GBS", 819))
@@ -198,6 +199,22 @@ def main():
                                    interpret=not on_tpu),
             lambda S: make_packed(S, padded=True))
         results["stage2_ytg"] = stage2_flops / t / 1e9
+
+    # word-mode stage 2 (the production path) with the planewise toggle:
+    # pw = one dot per decoded plane (decode/MXU overlap), wide = planes
+    # concatenated into the full (tm, tn) tile and ONE MXU pass per cell
+    for pw, tag in ((True, "pw"), (False, "wide")):
+        name = f"stage2_ytg_word_{tag}"
+        if not _want(name):
+            continue
+        Ytw = jnp.asarray(rng.normal(size=(K * b2, m)), jnp.bfloat16)
+        t = scan_over(
+            lambda blk, _pw=pw: ytg_matmul(
+                blk, fill2, Ytw, tm=tm, tn=tn, dtype=jnp.bfloat16,
+                clean=True, word=True, planewise=_pw,
+                interpret=not on_tpu),
+            make_words)
+        results[name] = stage2_flops / t / 1e9
 
     # ---- transposed stage 1: out (W, m) = C^T @ g^T over individual-major
     # packed words. The SNP axis lands on lanes (128-wide tiles always full)

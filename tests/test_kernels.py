@@ -201,3 +201,31 @@ def test_clean_swar_kernels(square):
     expect_pad[:, :n] = expect
     np.testing.assert_allclose(ytg, expect_pad[:, perm], rtol=2e-5,
                                atol=1e-3)
+
+
+@pytest.mark.parametrize("word", [False, True])
+def test_ytg_wide_variant_matches_planewise(word):
+    """planewise=False (planes concatenated, one MXU pass per grid cell)
+    matches the per-plane accumulate — the lane plane order IS the
+    output layout, so no relayout is involved; only the reduction order
+    differs (one wide dot vs 4/16 partial accumulates), hence allclose
+    rather than exact."""
+    from pyrhe_tpu.io.bed import clean_packed
+    from pyrhe_tpu.ops.kernels import ytg_matmul
+
+    packed_pad, fill_pad, g, _, m, n, m_pad, n_pad = make_inputs(seed=12)
+    clean_pad = np.zeros_like(packed_pad)
+    clean_packed(packed_pad[:m], fill_pad[:m], out=clean_pad[:m])
+    blk = (jnp.asarray(clean_pad.view(np.int32)) if word
+           else jnp.asarray(clean_pad))
+    zf = jnp.zeros((m_pad, 1), jnp.float32)
+    rng = np.random.default_rng(13)
+    Yt = rng.normal(size=(6, m_pad))
+    Yt[:, m:] = 0.0
+    kw = dict(tm=TM, tn=TN, dtype=jnp.float32, interpret=True, clean=True,
+              word=word)
+    a = np.asarray(ytg_matmul(blk, zf, jnp.asarray(Yt, jnp.float32),
+                              planewise=True, **kw))
+    b = np.asarray(ytg_matmul(blk, zf, jnp.asarray(Yt, jnp.float32),
+                              planewise=False, **kw))
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
