@@ -70,7 +70,8 @@ def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32",
                 blk, fill, annot_d, P, None, mask, n_indiv=N,
                 components=(("add", None),), b2=b2, dtype=jnp.float32,
                 kernel_dtype=jnp.bfloat16, clean=True, word=True,
-                tm=tm, tn=tn, mm_split=(mm_mode == "split2"))
+                tm=tm, tn=tn, mm_split=(mm_mode == "split2"),
+                ytg_planewise=False)
         N_out = n_pad
     else:
         P = jax.device_put(rng.normal(size=(N, Bp)).astype(np.float32), dev)
@@ -155,10 +156,18 @@ def main():
     # 128-lane MXU tile) kept for round-over-round comparability; the
     # wide row shows what production configs actually sustain
     # (VERDICT r2 weak #2). Skipped if the overrides already ask for it.
+    # the wide row uses the FLAGSHIP block shape m=5120 (M=500k at J=100
+    # -> 5000 SNPs/block, padded to the 512-row tile): per-block stats
+    # materialization+accumulate traffic (~340 MB, layout-independent —
+    # measured, docs/design/perf.md) is constant per block, so MFU rises
+    # with block size; m=2048 understates what production blocks sustain
     wide_cfg = {"K": 8, "B": B, "cov": True}
-    wide_gflops = (gflops if (K, cov) == (8, True) else
-                   bench_scan(*args, wide_cfg["K"], wide_cfg["B"], *blocks,
-                              mode, impl, wide_cfg["cov"]))
+    wide_m = 5120 if on_tpu else args[1]
+    wide_blocks = (4, 12) if on_tpu else blocks   # 167 MB/block at m=5120
+    wide_gflops = (gflops if (K, cov) == (8, True) and args[1] == wide_m
+                   else bench_scan(args[0], wide_m, wide_cfg["K"],
+                                   wide_cfg["B"], *wide_blocks, mode, impl,
+                                   wide_cfg["cov"]))
 
     baseline_gflops = 8.9  # PyRHE CPU-equivalent, see module docstring
     peak_tflops = float(os.environ.get("PEAK_TFLOPS", 197))  # v5e bf16
@@ -175,10 +184,12 @@ def main():
         "config": {"K": K, "B": B, "cov": cov, "impl": impl, "dtype": mode},
         "wide": {"value": round(wide_gflops, 2),
                  "vs_baseline": round(wide_gflops / baseline_gflops, 2),
-                 "mfu_pct": mfu(wide_gflops), "config": wide_cfg},
+                 "mfu_pct": mfu(wide_gflops),
+                 "config": {**wide_cfg, "m": wide_m}},
         "note": ("useful-FLOP MFU at K=1,B=10 is output-shape-bound; "
-                 "'wide' is the 8-bin+cov production shape; k=50 sustains "
-                 "~3.3x the headline — docs/design/perf.md roofline"),
+                 "'wide' is the 8-bin+cov production config at the "
+                 "flagship block shape m=5120 (M=500k, J=100) — "
+                 "docs/design/perf.md roofline + accumulate analysis"),
     }))
 
 

@@ -359,7 +359,8 @@ class ShardedRunner:
                       kernel_dtype=(jnp.float32 if on_cpu else jnp.bfloat16),
                       mm_split=(eng.mm_mode == "split2"), clean=True,
                       word=eng.use_word, interpret=on_cpu,
-                      tm=eng._pl_tm, tn=eng._pl_tn)
+                      tm=eng._pl_tm, tn=eng._pl_tn,
+                      ytg_planewise=False)
 
             def core(g, f, a, P_mat, env, mask):
                 return block_stats_pallas_core(g, f, a, P_mat, env, mask,

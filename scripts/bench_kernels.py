@@ -176,7 +176,8 @@ def main():
                 blk, fill, annot_d, P16, None, mask16, n_indiv=N,
                 components=(("add", None),), b2=b2, dtype=jnp.float32,
                 kernel_dtype=jnp.bfloat16, mm_split=(_mode == "split2"),
-                clean=True, word=True, interpret=not on_tpu, tm=tm, tn=tn)
+                clean=True, word=True, interpret=not on_tpu, tm=tm, tn=tn,
+                ytg_planewise=os.environ.get("BK_YTG_WIDE", "0") != "1")
         t = scan_over(plw_stats, make_words)
         results[f"pallas_word_{mode}"] = flops_per_block / t / 1e9
 
