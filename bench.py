@@ -70,8 +70,7 @@ def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32",
                 blk, fill, annot_d, P, None, mask, n_indiv=N,
                 components=(("add", None),), b2=b2, dtype=jnp.float32,
                 kernel_dtype=jnp.bfloat16, clean=True, word=True,
-                tm=tm, tn=tn, mm_split=(mm_mode == "split2"),
-                ytg_planewise=False)
+                tm=tm, tn=tn, mm_split=(mm_mode == "split2"))
         N_out = n_pad
     else:
         P = jax.device_put(rng.normal(size=(N, Bp)).astype(np.float32), dev)
@@ -163,7 +162,7 @@ def main():
     # with block size; m=2048 understates what production blocks sustain
     wide_cfg = {"K": 8, "B": B, "cov": True}
     wide_m = 5120 if on_tpu else args[1]
-    wide_blocks = (4, 12) if on_tpu else blocks   # 167 MB/block at m=5120
+    wide_blocks = (4, 16) if on_tpu else blocks   # 167 MB/block at m=5120
     wide_gflops = (gflops if (K, cov) == (8, True) and args[1] == wide_m
                    else bench_scan(args[0], wide_m, wide_cfg["K"],
                                    wide_cfg["B"], *wide_blocks, mode, impl,

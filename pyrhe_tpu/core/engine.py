@@ -736,8 +736,7 @@ class Engine:
                                      else jnp.bfloat16),
                        mm_split=(self.mm_mode == "split2"), clean=True,
                        word=self.use_word, interpret=on_cpu,
-                       tm=self._pl_tm, tn=self._pl_tn,
-                       ytg_planewise=False)
+                       tm=self._pl_tm, tn=self._pl_tn)
 
         @jax.jit
         def run(packed_s, fill_s, annot_s, tot_X, tot_y, P, env, mask):

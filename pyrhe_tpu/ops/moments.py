@@ -235,7 +235,7 @@ def block_stats_pallas_core(
     tm: int = 256,
     tn: int = 512,
     word: bool = False,
-    ytg_planewise: bool = True,
+    ytg_planewise: bool | None = None,
 ):
     """block_stats via the fused decode+matmul Pallas kernels
     (ops/kernels.py). Inputs follow the plane-permutation contract; the
@@ -281,11 +281,18 @@ def block_stats_pallas_core(
 
     def run2(which, Y):
         Yt = Y.astype(jnp.float32).T               # (Q, m) — small relayout
+        # auto planewise: one dot per decoded plane while the lhs rows
+        # (split doubles them) underfill an MXU sublane tile — measured
+        # crossover on v5e: narrow Q=10/20 pw wins ~+12%, wide Q=160/320
+        # the single concatenated-planes pass wins +25% isolated
+        # (docs/design/perf.md round-4 decomposition)
+        rows = Yt.shape[0] * (2 if split else 1)
+        pw = ytg_planewise if ytg_planewise is not None else rows < 64
         if split:
             out = ytg_matmul(packed, fill2, _hilo(Yt, 0), tm=tm, tn=tn,
                              dtype=kernel_dtype, interpret=interpret,
                              square=(which == "g2"), clean=clean,
-                             word=word, planewise=ytg_planewise)
+                             word=word, planewise=pw)
             Q = Yt.shape[0]
             return (out[:Q] + out[Q:]).astype(dtype)
         # _ytg_kernel uses the lhs operand as-is (only the rhs is cast);
@@ -294,7 +301,7 @@ def block_stats_pallas_core(
                           tm=tm, tn=tn, dtype=kernel_dtype,
                           interpret=interpret, square=(which == "g2"),
                           clean=clean, word=word,
-                          planewise=ytg_planewise).astype(dtype)
+                          planewise=pw).astype(dtype)
 
     return _moment_algebra(run1, run2, N, annot_f, P_perm, env_perm,
                            n_indiv=n_indiv, components=components, b2=b2,

@@ -359,8 +359,7 @@ class ShardedRunner:
                       kernel_dtype=(jnp.float32 if on_cpu else jnp.bfloat16),
                       mm_split=(eng.mm_mode == "split2"), clean=True,
                       word=eng.use_word, interpret=on_cpu,
-                      tm=eng._pl_tm, tn=eng._pl_tn,
-                      ytg_planewise=False)
+                      tm=eng._pl_tm, tn=eng._pl_tn)
 
             def core(g, f, a, P_mat, env, mask):
                 return block_stats_pallas_core(g, f, a, P_mat, env, mask,
