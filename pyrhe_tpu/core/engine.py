@@ -789,12 +789,15 @@ class Engine:
 
     def _stage_depth(self) -> int:
         """In-flight staging transfers. A single device_put stream does not
-        saturate a tunneled backend (30 vs 39 MB/s aggregate, measured by
-        scripts/bench_staging.py); 3 concurrent chunk transfers reach the
-        cap. On local backends one-ahead prefetch already suffices."""
+        saturate a tunneled backend; scripts/bench_staging.py measured
+        1/3/6 streams at 30/39/39 MB/s on the round-3 link but 27/29/57.5
+        on the round-4 link — the per-stream cap moves session to session,
+        so the auto depth is 6 (equal to 3 when 3 already saturates, 2x
+        on links like round 4's). On local backends one-ahead prefetch
+        already suffices."""
         if self.cfg.stage_streams > 0:
             return self.cfg.stage_streams
-        return 3 if self._dev.platform != "cpu" else 1
+        return 6 if self._dev.platform != "cpu" else 1
 
     def _env_arg(self):
         return (self.envd if self.data.num_env else
