@@ -33,10 +33,13 @@ def parse_config(config_path, config_name):
 
 # INI values arrive as strings; the argparse default's type decides the
 # coercion. bool before int: isinstance(True, int) holds in Python, and
-# booleans must parse "true"/"yes" rather than int("true").
+# booleans must parse "true"/"yes" rather than int("true"). float after
+# int so integer defaults stay ints and float defaults (host_cache_gb)
+# parse "1.5" instead of surviving as strings.
 _COERCERS = (
     (bool, lambda s: s.lower() in ("true", "1", "yes")),
     (int, int),
+    (float, float),
 )
 
 
@@ -115,7 +118,8 @@ def build_parser():
                         help='snapshot cadence in jackknife blocks/chunks')
     parser.add_argument('--stage_streams', type=int, default=0,
                         help='concurrent host->device staging transfers; '
-                             '0 = auto (3 on accelerators, 1 on CPU)')
+                             '0 = auto (6 on accelerators, 1 on CPU; '
+                             'measured in scripts/bench_staging.py)')
     parser.add_argument('--cache_blocks', type=int, default=-1,
                         help='stats-cache size in jackknife blocks '
                              '(per device when sharded): -1 auto-fits '

@@ -245,6 +245,24 @@ class Checkpoint:
             return out
         return self._load_or_reset(_load)
 
+    def load_blocks_partial(self, upto: int):
+        """{j: (XXP, yXXy)} for whichever block files < upto exist and
+        load. Unlike load_blocks, a missing or corrupt file is simply
+        skipped instead of resetting state: under a cache_limit only the
+        budgeted blocks were ever staged, and pass 2 recomputes any hole
+        through _loo_stats' cache-miss branch."""
+        out = {}
+        for j in range(upto):
+            path = self._path(f"block_{j:06d}.npz")
+            if not os.path.exists(path):
+                continue
+            try:
+                with np.load(path) as z:
+                    out[j] = (z["XXP"], z["yXXy"])
+            except _LOAD_ERRORS:
+                continue
+        return out
+
     def load_chunks_prefix(self, upto: int):
         """[(j0, C, Xs, Ys)] for the longest loadable prefix of chunk
         files covering blocks [0, upto). Unlike load_chunks, a missing or

@@ -79,9 +79,25 @@ def load_dataset(
         annot_file = "generated_annot"
         generate_annot(annot_file, num_snp, num_bin, rng=rs)
     num_bin, annot, len_bin = read_annot(annot_file)
+    # Cross-file geometry checks: a mismatched side file must fail HERE
+    # with both file names, not as a cryptic broadcast error deep in the
+    # engine. (The reference's only geometry guard is the .bed size
+    # implied by .fam x .bim, base.py:100 — this is deliberately
+    # stricter.)
+    if annot.shape[0] != num_snp:
+        raise ValueError(
+            f"annotation file {annot_file} has {annot.shape[0]} SNP rows "
+            f"but {geno_file}.bim has {num_snp} SNPs — the files do not "
+            "describe the same genotype matrix")
 
     if pheno_file is not None:
         pheno, missing_indv, binary_pheno = read_pheno(pheno_file)
+        if pheno.shape[0] != num_indv_original:
+            raise ValueError(
+                f"phenotype file {pheno_file} has {pheno.shape[0]} "
+                f"individual rows but {geno_file}.fam has "
+                f"{num_indv_original} individuals — the files do not "
+                "describe the same cohort")
     else:
         pheno, missing_indv, binary_pheno = None, [], False
 
@@ -108,6 +124,12 @@ def load_dataset(
         pheno = pheno - np.mean(pheno, axis=0)
 
     num_indv = num_indv_original - len(missing_indv)
+    if cov is not None and cov.shape[0] != num_indv:
+        raise ValueError(
+            f"covariate file {cov_file} has {cov.shape[0]} rows after "
+            f"missing-individual filtering but {geno_file}.fam implies "
+            f"{num_indv} kept individuals — the files do not describe "
+            "the same cohort")
     for idx, mi in enumerate(missing_indv, start=1):
         log._log(f"missing individual {idx}: FID:{fam_df.iloc[mi, 0]} "
                  f"IID:{fam_df.iloc[mi, 1]}")
@@ -129,6 +151,12 @@ def load_dataset(
     num_env = 0
     if env_file is not None:
         num_env, env = read_env_file(env_file)
+        if env.shape[0] != num_indv_original:
+            raise ValueError(
+                f"environment file {env_file} has {env.shape[0]} "
+                f"individual rows but {geno_file}.fam has "
+                f"{num_indv_original} individuals — the files do not "
+                "describe the same cohort")
         if missing_indv:
             env = np.delete(env, missing_indv, axis=0)
 

@@ -90,12 +90,14 @@ class RunConfig:
                                         # (core/checkpoint.py); None = off
     checkpoint_every: int = 1       # snapshot cadence, in blocks/chunks
     stage_streams: int = 0          # concurrent host->device staging
-                                    # transfers; 0 = auto (3 on
+                                    # transfers; 0 = auto (6 on
                                     # accelerators, 1 on CPU). Measured on
                                     # the tunneled v5e (scripts/
-                                    # bench_staging.py): 1 stream 30 MB/s,
-                                    # 3 streams 39 MB/s — the tunnel's
-                                    # aggregate cap.
+                                    # bench_staging.py): per-stream caps
+                                    # move session to session (1/3/6
+                                    # streams = 30/39/39 MB/s one day,
+                                    # 27/29/57.5 another), so auto stays
+                                    # at 6 — see _stage_depth.
     cache_blocks: int = -1          # stats-cache size override, in
                                     # jackknife blocks (per device on the
                                     # sharded path): -1 = auto (fit the
@@ -163,7 +165,11 @@ class Engine:
         # trade-off, base_streaming.py:85-144); fall back to full
         # streaming only when not even a margin's worth of blocks fits.
         dsize = 8 if self.dtype == jnp.float64 else 4
-        per_block = self.E_geno * (data.num_indv * dsize) * self.b2
+        # N_work (set by _setup_pallas above), not num_indv: cached stats
+        # arrays are (E_geno, N_work, b2) with N_work padded on the Pallas
+        # path — sizing by the unpadded N would overestimate how many
+        # blocks fit and erode the 4-block working-set reserve
+        per_block = self.E_geno * (self.N_work * dsize) * self.b2
         cache_bytes = cfg.num_jack * per_block
         # blocks of stats the HBM budget can hold alongside totals and
         # working buffers (~4 block-equivalents: totals + staged chunks
@@ -337,27 +343,50 @@ class Engine:
 
     def _setup_pallas(self):
         """Resolve whether blocks go through the fused Pallas kernels.
-        Requires the packed path (no individual filtering) and a bf16-based
-        matmul mode; disabled on CPU (interpret mode is test-only).
+        Requires a bf16-based matmul mode; disabled on CPU (interpret mode
+        is test-only).
+
+        Individual filtering (missing pheno/cov, data.py keep_idx) runs on
+        this path too: the kernels decode the FULL .bed population and
+        dropped individuals are zero-weighted — valid_mask zeroes them in
+        the stage-1 ones-column (so means/variances cover kept individuals
+        only, n_indiv being the kept count) and in the stage-2 output
+        rows, while _padperm scatters every N-indexed array (probes,
+        pheno, cov, env) to its ORIGINAL .bed row with zero rows at
+        dropped positions. This matches the reference running its device
+        path uniformly on the filtered matrix (base.py:118-135,
+        mat_mul.py:17-31) without a host-side repack of the genotypes.
 
         Kernels run in int32-WORD decode mode (ops/kernels.py word=True):
         cleaned packed bytes are viewed as little-endian int32, one SWAR
         pass decodes 16 codes per lane, and all N-indexed arrays use the
         16-plane permutation. Requires tn % 2048 == 0 so a word tile still
         spans >= 128 lanes."""
-        packed_ok = self.data.bed.keep_idx is None
         if self.cfg.use_pallas == "auto":
-            self.use_pallas = (self._dev.platform != "cpu" and packed_ok
+            self.use_pallas = (self._dev.platform != "cpu"
                                and self.mm_mode in ("split2", "bf16"))
         else:
-            self.use_pallas = bool(self.cfg.use_pallas) and packed_ok
+            self.use_pallas = bool(self.cfg.use_pallas)
+        if not self.use_pallas and self._dev.platform != "cpu":
+            # performance-mode downgrade must be VISIBLE: the jnp fallback
+            # is ~6-10x slower per block (docs/design/perf.md)
+            cause = ("use_pallas=False requested"
+                     if self.cfg.use_pallas != "auto"
+                     else f"mm_mode={self.mm_mode!r} (needs split2/bf16)")
+            self.log._log(
+                f"Note: fused Pallas kernels DISABLED ({cause}); falling "
+                "back to the jnp block path, expect ~6-10x lower block "
+                "throughput on this device")
         self.use_word = self.use_pallas
         # Tile sweep on v5e-class chip (2026-08): tm=512/tn=2048.
         self._pl_tm = 512
         self._pl_tn = 2048
         if self.use_pallas:
             from ..ops.kernels import pad_to, plane_permutation
-            self.n_pad = pad_to(self.data.num_indv, self._pl_tn)
+            # pad the ORIGINAL .bed population: the packed bytes are
+            # decoded unfiltered and dropped individuals ride as
+            # zero-masked rows
+            self.n_pad = pad_to(self.data.bed.num_indiv, self._pl_tn)
             self.perm = plane_permutation(self.n_pad, self._pl_tn,
                                           planes=16 if self.use_word else 4)
             self.N_work = self.n_pad
@@ -366,12 +395,18 @@ class Engine:
             self.N_work = self.data.num_indv
 
     def _padperm(self, x: np.ndarray) -> np.ndarray:
-        """Zero-pad an (N, k) array to n_pad rows and apply the plane
-        permutation (ops/kernels.py contract). Identity when not pallas."""
+        """Scatter an (N_kept, k) array to n_pad rows at the individuals'
+        ORIGINAL .bed positions (zero rows at dropped/padding positions)
+        and apply the plane permutation (ops/kernels.py contract).
+        Identity when not pallas."""
         if self.perm is None:
             return x
         out = np.zeros((self.n_pad,) + x.shape[1:], x.dtype)
-        out[:x.shape[0]] = x
+        ki = self.data.bed.keep_idx
+        if ki is None:
+            out[:x.shape[0]] = x
+        else:
+            out[ki] = x
         return out[self.perm]
 
     def _build_static_arrays(self):
@@ -394,8 +429,18 @@ class Engine:
                                  self._dev) if self.use_cov else None
         self.envd = put(d.env) if d.num_env else None
         if self.perm is not None:
+            # 1.0 exactly at KEPT individuals' original positions: zeroes
+            # both the tail padding and any filtered (missing pheno/cov)
+            # individuals out of every reduction (stage-1 ones-column and
+            # stage-2 output rows, ops/moments._moment_algebra)
+            keep = np.zeros(self.n_pad, dtype=bool)
+            ki = d.bed.keep_idx
+            if ki is None:
+                keep[:d.num_indv] = True
+            else:
+                keep[ki] = True
             self.valid_mask = jax.device_put(
-                jnp.asarray((self.perm < d.num_indv), self.dtype), self._dev)
+                jnp.asarray(keep[self.perm], self.dtype), self._dev)
         self.q_last = jax.device_put(
             jnp.asarray((self.Y_resid ** 2).sum(axis=0), self.dtype),
             self._dev)
@@ -674,10 +719,10 @@ class Engine:
                      jax.device_put(jnp.asarray(Ys, self.dtype), self._dev))
                     for j0, C, Xs, Ys in chunks]
             else:
-                blocks = self._ckpt.load_blocks(start_j)
-                if blocks is None:
-                    return 0, None
-                self._cache = blocks
+                # tolerant: under a cache_limit only the budgeted blocks
+                # have files; holes are recomputed by _loo_stats' cache
+                # miss branch, so a partial load degrades throughput only
+                self._cache = self._ckpt.load_blocks_partial(start_j)
         return start_j, tot
 
     def _put_tot(self, tot):
@@ -702,7 +747,9 @@ class Engine:
                 range(start_j, self.J)):
             tot_XXP = tot_XXP + XXP
             tot_y = tot_y + yXXy
-            if not self.cfg.streaming:
+            # cache_limit also gates this non-chunked path: beyond the
+            # budget pass 2 recomputes via _loo_stats' cache-miss branch
+            if not self.cfg.streaming and len(self._cache) < self.cache_limit:
                 self._cache[j] = (XXP, yXXy)
                 if self._ckpt:
                     self._ckpt.stage_block(j, XXP, yXXy)
@@ -992,8 +1039,15 @@ class Engine:
 
         tot_XXP, tot_y, nxe_XXP, nxe_y, kw = self._assemble_args()
         Ts, qs = [], []
+        start_j = self._ckpt_assemble_state(Ts, qs)
+        every = max(1, self.cfg.checkpoint_every)
+        n_chunks = 0
 
         def asm(j0, C, Xs, Ys):
+            """Assemble one chunk and run the shared checkpoint cadence —
+            both branches (cached pops, hybrid gap recompute, streaming)
+            save partial (T, q) so a crash never loses the whole pass."""
+            nonlocal n_chunks
             T, q = assemble_Tq_chunk(
                 tot_XXP, tot_y, Xs, Ys,
                 jnp.asarray(self.M_mat[j0:j0 + C]), nxe_XXP, nxe_y,
@@ -1001,6 +1055,11 @@ class Engine:
                 self.q_last, self.stoch_mask, **kw)
             Ts.append(T)
             qs.append(q)
+            n_chunks += 1
+            if self._ckpt and n_chunks % every == 0:
+                self._ckpt.save_assemble(jnp.concatenate(Ts),
+                                         jnp.concatenate(qs), j0 + C)
+                self._ckpt.commit("assemble", j0 + C)
 
         if not self.cfg.streaming:
             # Walk blocks in order, consuming HBM-cached chunks where they
@@ -1009,10 +1068,14 @@ class Engine:
             # and streaming (nothing cached, one full-range gap). Cached
             # entries are popped as assembled so peak HBM stays at one
             # cache copy. Bit-identical to both extremes: per-block stats
-            # do not depend on which pass computes them.
-            cached = {j0: (C, Xs, Ys) for j0, C, Xs, Ys in self._chunk_cache}
+            # do not depend on which pass computes them. A resume drops
+            # cached chunks already covered by the restored partial
+            # (chunk boundaries are deterministic, so start_j is always a
+            # boundary of this run's walk too).
+            cached = {j0: (C, Xs, Ys) for j0, C, Xs, Ys in self._chunk_cache
+                      if j0 >= start_j}
             self._chunk_cache = []
-            j = 0
+            j = start_j
             while j < self.J:
                 if j in cached:
                     C, Xs, Ys = cached.pop(j)
@@ -1026,23 +1089,9 @@ class Engine:
                     j = stop
         else:
             # streaming: one dispatch per recomputed chunk, O(chunk) memory
-            start_j = self._ckpt_assemble_state(Ts, qs)
-            every = max(1, self.cfg.checkpoint_every)
-            n_chunks = 0
             for j0, C, Xs, Ys, _, _ in self._chunked_stats_stream(
                     True, start_j=start_j):
-                T, q = assemble_Tq_chunk(
-                    tot_XXP, tot_y, Xs, Ys,
-                    jnp.asarray(self.M_mat[j0:j0 + C]), nxe_XXP, nxe_y,
-                    self.Zd, self.Uzbd, self.Cd, self.Qd,
-                    self.q_last, self.stoch_mask, **kw)
-                Ts.append(T)
-                qs.append(q)
-                n_chunks += 1
-                if self._ckpt and n_chunks % every == 0:
-                    self._ckpt.save_assemble(jnp.concatenate(Ts),
-                                             jnp.concatenate(qs), j0 + C)
-                    self._ckpt.commit("assemble", j0 + C)
+                asm(j0, C, Xs, Ys)
         # sample J = full data: a zero block (total - 0)
         T, q = assemble_Tq_chunk(
             tot_XXP, tot_y, jnp.zeros((1,) + tot_XXP.shape, self.dtype),

@@ -173,6 +173,14 @@ class BedFile:
                              shape=(num_snp, self.bytes_per_snp))
         if keep_idx is not None:
             keep_idx = np.ascontiguousarray(keep_idx, dtype=np.int64)
+            # dropped individuals' byte/bit addresses, precomputed for the
+            # packed_col_stats keep correction (real cohorts drop a small
+            # number of pheno/cov-missing individuals, so subtracting their
+            # per-SNP contributions beats a masked full re-count)
+            drop = np.setdiff1d(np.arange(num_indiv, dtype=np.int64),
+                                keep_idx)
+            self._drop_byte = (drop // 4).astype(np.int64)
+            self._drop_shift = (2 * (drop % 4)).astype(np.uint8)
         self.keep_idx = keep_idx
         self.n_keep = num_indiv if keep_idx is None else len(keep_idx)
         self.num_threads = num_threads or min(8, os.cpu_count() or 1)
@@ -201,8 +209,10 @@ class BedFile:
 
     def packed_col_stats(self, packed: np.ndarray):
         """Per-SNP (observed dosage sum, missing count) straight from packed
-        bytes (byte-LUT in C++; no decode). Only valid without individual
-        filtering (keep_idx)."""
+        bytes (byte-LUT in C++; no decode), over the KEPT individuals when
+        keep_idx is set: the full-population counts are corrected by
+        subtracting each dropped individual's 2-bit code — exact integer
+        arithmetic, bit-identical to col_stats over the filtered decode."""
         packed = np.ascontiguousarray(packed, dtype=np.uint8)
         m = packed.shape[0]
         lib = _load_native()
@@ -211,8 +221,18 @@ class BedFile:
             nmiss = np.empty(m, dtype=np.int64)
             lib.bed_packed_col_stats(packed.ctypes.data, m, self.num_indiv,
                                      sums.ctypes.data, nmiss.ctypes.data)
+            if self.keep_idx is not None and len(self._drop_byte):
+                codes = (packed[:, self._drop_byte]
+                         >> self._drop_shift[None, :]) & 3   # (m, n_drop)
+                miss = codes == 1
+                dose = _LUT[codes].astype(np.int64)
+                sums -= np.where(miss, 0, dose).sum(axis=1)
+                nmiss -= miss.sum(axis=1)
             return sums, nmiss
-        return self.col_stats(decode_packed(packed, self.num_indiv))
+        decoded = decode_packed(packed, self.num_indiv)
+        if self.keep_idx is not None:
+            decoded = decoded[:, self.keep_idx]
+        return self.col_stats(decoded)
 
     def col_stats(self, dosage: np.ndarray):
         """Per-SNP (observed dosage sum, missing count) for a decoded block."""

@@ -304,7 +304,25 @@ class BaseModel:
         self._ensure_computed()
         if self.cfg.get_trace:
             self.get_trace_summary()
-        return self.run(method=method, trait=trait)
+        res = self.run(method=method, trait=trait)
+        self._check_finite(res)
+        return res
+
+    def _check_finite(self, res: dict) -> None:
+        """Flag non-finite σ/SE/h²/enrichment loudly instead of letting a
+        NaN ride the report as a plausible-looking number: downstream
+        regex parsers (SURVEY §4 output contract) would propagate it
+        silently. A NaN here means a singular jackknife system or
+        degenerate input (constant phenotype/covariate, empty bin)."""
+        bad = sorted(
+            k for k, v in res.items()
+            if not np.all(np.isfinite(np.asarray(v, dtype=np.float64))))
+        if bad:
+            self.log._log(
+                "WARNING: non-finite values in the report: "
+                + ", ".join(bad)
+                + " — check for a singular jackknife system (constant "
+                "phenotype/covariate, empty bin, or J too large for M)")
 
     # ------------------------------------------------- shared report pieces
     def _report_sigmas(self, sigma_total, sig_errs):

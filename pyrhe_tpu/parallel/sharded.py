@@ -133,7 +133,11 @@ class ShardedRunner:
         s, e = eng._block_range(slot)
         m = e - s
         d = eng.data
-        if d.bed.keep_idx is None:
+        if eng.use_pallas or d.bed.keep_idx is None:
+            # packed path: on the Pallas path this also covers FILTERED
+            # data (packed_col_stats subtracts dropped individuals, and
+            # the kernels decode the full population under valid_mask —
+            # see Engine._setup_pallas)
             from ..io.bed import clean_packed
             packed = d.bed.read_packed_block(s, e)
             if eng.cfg.geno_impute_method == "binary":

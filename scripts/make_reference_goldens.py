@@ -57,6 +57,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", default="rhe,rhe_dom,genie")
     ap.add_argument("--timeout", type=int, default=3600)
+    ap.add_argument("--trace_only", action="store_true",
+                    help="regenerate only the trace (.MN/.tr) goldens, "
+                         "leaving the estimate goldens untouched")
     args = ap.parse_args()
 
     if not os.path.exists(os.path.join(EXAMPLE, "test.bed")):
@@ -65,7 +68,7 @@ def main():
                        check=True)
 
     results = []
-    for model in args.models.split(","):
+    for model in args.models.split(",") if not args.trace_only else []:
         for cfg in sorted(glob.glob(os.path.join(
                 EXAMPLE, "configs", model, "*.txt"))):
             name = os.path.basename(cfg)
@@ -87,29 +90,44 @@ def main():
             print(f"{model}/{name}: {status} ({dt:.1f}s)", flush=True)
 
     # --- trace sumstat goldens (reference base.py:831-855) -------------
-    # Non-streaming RHE configs only: the reference's trace path is
-    # exercised through its own get_trace_summary so the committed
-    # .MN/.tr files are format ground truth for SUMRHE consumers
+    # Every model/config the reference can actually run with get_trace:
+    # its own get_trace_summary writes the committed .MN/.tr files, so
+    # they are format ground truth for SUMRHE consumers
     # (test_golden_example.py diffs ours field-by-field against these).
-    if "rhe" in args.models.split(","):
+    # Streaming trace is attempted too but the reference's streaming
+    # trace path is bit-rotted (base_streaming.py:125 stores a
+    # (scalar, M) tuple where get_trace_summary expects a (J+1, K, K)
+    # LD-sum array) — crashes are recorded as SKIPPED, and our streaming
+    # .tr is instead pinned bit-identical to our non-streaming .tr.
+    for model in args.models.split(","):
         for cfg in sorted(glob.glob(os.path.join(
-                EXAMPLE, "configs", "rhe", "no_streaming_*.txt"))):
+                EXAMPLE, "configs", model, "*.txt"))):
             name = os.path.splitext(os.path.basename(cfg))[0]
-            tracedir = os.path.join(OUTDIR, "trace", name)
+            tracedir = os.path.join(OUTDIR, "trace", model, name)
             os.makedirs(tracedir, exist_ok=True)
             cmd = reference_cmd(cfg, os.path.join(tracedir, "_out.txt"))
             cmd += ["--trace", "--trace_dir", tracedir]
             t0 = time.time()
-            res = subprocess.run(cmd, cwd=EXAMPLE, capture_output=True,
-                                 text=True, timeout=args.timeout)
-            status = "ok" if res.returncode == 0 else "SKIPPED (crashed)"
+            try:
+                res = subprocess.run(cmd, cwd=EXAMPLE, capture_output=True,
+                                     text=True, timeout=args.timeout)
+                rc = res.returncode
+                tail = (res.stderr.strip().splitlines() or ["?"])[-1][:120]
+            except subprocess.TimeoutExpired:
+                rc, tail = -1, "timeout (reference deadlock, SURVEY 2.6)"
+            status = "ok" if rc == 0 else f"SKIPPED (crashed): {tail}"
             out_txt = os.path.join(tracedir, "_out.txt")
             if os.path.exists(out_txt):
-                os.remove(out_txt)   # estimates live in rhe/<name>.txt
-            results.append(("trace", name, status, time.time() - t0))
-            print(f"trace/{name}: {status}", flush=True)
+                os.remove(out_txt)   # estimates live in <model>/<name>.txt
+            if rc != 0 and not os.listdir(tracedir):
+                os.rmdir(tracedir)   # no partial/empty golden dirs
+            results.append((f"trace/{model}", name, status,
+                            time.time() - t0))
+            print(f"trace/{model}/{name}: {status}", flush=True)
 
-    with open(os.path.join(OUTDIR, "README.md"), "w") as f:
+    readme = os.path.join(OUTDIR, "trace" if args.trace_only else "",
+                          "README.md")
+    with open(readme, "w") as f:
         f.write(
             "# Reference-produced goldens\n\n"
             "Outputs in this directory were produced by the REFERENCE\n"
@@ -130,7 +148,7 @@ def main():
             "| config | status | runtime (s) |\n|---|---|---|\n")
         for model, name, status, dt in results:
             f.write(f"| {model}/{name} | {status} | {dt:.1f} |\n")
-    print(f"wrote {OUTDIR}/README.md")
+    print(f"wrote {readme}")
 
 
 if __name__ == "__main__":

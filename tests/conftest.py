@@ -49,6 +49,25 @@ def small_dataset(tmp_path_factory):
     }
 
 
+@pytest.fixture(scope="session")
+def filtered_dataset(small_dataset, tmp_path_factory):
+    """small_dataset with NA phenotype rows, so load_dataset DROPS
+    individuals (keep_idx set) — exercises the filtered engine paths."""
+    d = tmp_path_factory.mktemp("filtered")
+    with open(small_dataset["pheno_path"]) as f:
+        lines = f.read().splitlines()
+    na_rows = {1, 7, 300, 599, 600}     # 1-indexed body rows, incl. ends
+    out = [lines[0]]
+    for i, ln in enumerate(lines[1:], start=1):
+        cols = ln.split()
+        out.append(" ".join(cols[:2] + ["NA"] * (len(cols) - 2))
+                   if i in na_rows else ln)
+    p = str(d / "missing.pheno")
+    with open(p, "w") as f:
+        f.write("\n".join(out) + "\n")
+    return dict(small_dataset, pheno_path=p, n_missing=len(na_rows))
+
+
 def load_geno_nan(prefix, num_indiv, num_snp):
     bed = BedFile(prefix + ".bed", num_indiv, num_snp)
     g = bed.read_block(0, num_snp).astype(np.float64).T  # (N, M)

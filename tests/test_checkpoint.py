@@ -17,7 +17,7 @@ from pyrhe_tpu.core.engine import Engine, ModelSpec, RunConfig
 
 
 def make_engine(ds, ckpt_dir=None, streaming=False, use_pallas=False, J=8,
-                B=4, dtype="float64", every=1, seed=7):
+                B=4, dtype="float64", every=1, seed=7, cache_blocks=-1):
     data = load_dataset(ds["prefix"], annot_file=ds["annot1_path"],
                         pheno_file=ds["pheno_path"], num_random_vec=B,
                         seed=seed)
@@ -27,7 +27,8 @@ def make_engine(ds, ckpt_dir=None, streaming=False, use_pallas=False, J=8,
                     dtype=("float32" if use_pallas else dtype),
                     mm_mode=("exact" if use_pallas else "auto"),
                     streaming=streaming, use_pallas=use_pallas,
-                    checkpoint_dir=ckpt_dir, checkpoint_every=every)
+                    checkpoint_dir=ckpt_dir, checkpoint_every=every,
+                    cache_blocks=cache_blocks)
     return Engine(data, spec, cfg)
 
 
@@ -185,6 +186,60 @@ def test_crash_mid_assemble_streaming_chunked(small_dataset, tmp_path,
     np.testing.assert_array_equal(eng2.q_all, base.q_all)
 
 
+def test_crash_mid_assemble_hybrid_chunked(small_dataset, tmp_path,
+                                           monkeypatch):
+    """The HYBRID (non-streaming, partial cache) pass 2 must checkpoint
+    its progress like the streaming branch: a crash mid-walk resumes from
+    the last saved sample instead of recomputing the whole pass."""
+    ck = str(tmp_path / "ck")
+    monkeypatch.setattr(Engine, "_chunk_size", lambda self: 2)
+    base = make_engine(small_dataset, use_pallas=True, J=6, cache_blocks=2)
+    assert base.cache_limit == 2
+    base.run_precompute_and_assemble()
+
+    eng = make_engine(small_dataset, ck, use_pallas=True, J=6,
+                      cache_blocks=2)
+    crash_commit_after(eng, phase_at=("assemble", 4))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eng.run_precompute_and_assemble()
+
+    eng2 = make_engine(small_dataset, ck, use_pallas=True, J=6,
+                       cache_blocks=2)
+    loaded = spy_loads(eng2)
+    eng2.run_precompute_and_assemble()
+    # assemble.npz covering samples [0, 4) was saved before the crashing
+    # commit: only the hybrid tail [4, 6) may be restaged on resume
+    assert min(loaded) == 4
+    np.testing.assert_array_equal(eng2.T_all, base.T_all)
+    np.testing.assert_array_equal(eng2.q_all, base.q_all)
+
+
+def test_cache_blocks_respected_on_blocks_path(small_dataset, tmp_path):
+    """--cache_blocks gates the non-chunked (per-block) path too: beyond
+    the budget nothing is cached and pass 2 recomputes via _loo_stats'
+    cache-miss branch; a checkpoint resume tolerates the holes."""
+    base = make_engine(small_dataset)          # full cache ground truth
+    base.run_precompute_and_assemble()
+
+    eng0 = make_engine(small_dataset, cache_blocks=0)
+    assert not eng0.use_pallas                 # per-block path on CPU
+    eng0.precompute()
+    assert eng0._cache == {}, "cache_blocks=0 must cache nothing"
+    eng0.assemble()
+    np.testing.assert_array_equal(eng0.T_all, base.T_all)
+
+    ck = str(tmp_path / "ck")
+    eng = make_engine(small_dataset, ck, cache_blocks=3)
+    crash_commit_after(eng, n_allowed=5)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eng.run_precompute_and_assemble()
+    eng2 = make_engine(small_dataset, ck, cache_blocks=3)
+    assert len(eng2._ckpt.load_blocks_partial(6)) == 3  # only the budget
+    eng2.run_precompute_and_assemble()
+    np.testing.assert_array_equal(eng2.T_all, base.T_all)
+    np.testing.assert_array_equal(eng2.q_all, base.q_all)
+
+
 def test_pheno_change_invalidates_checkpoint(small_dataset, tmp_path):
     """simulate_pheno-style phenotype swaps (same shapes) must not reuse
     stale totals: the fingerprint hashes pheno/cov/env/annot content."""
@@ -203,9 +258,12 @@ def test_pheno_change_invalidates_checkpoint(small_dataset, tmp_path):
     assert eng2._ckpt.state() is None
 
 
-def test_corrupt_data_file_starts_fresh(small_dataset, tmp_path):
-    """A truncated/missing data file (partial directory copy, power loss)
-    must fall back to a fresh start, not crash the resume."""
+def test_corrupt_block_file_recomputes_only_that_block(small_dataset,
+                                                       tmp_path):
+    """A truncated block cache file (partial directory copy, power loss)
+    must neither crash the resume nor discard the totals: the corrupt
+    entry is skipped on load and pass 2 recomputes exactly that block
+    through _loo_stats' cache-miss branch."""
     ck = tmp_path / "ck"
     base = make_engine(small_dataset)
     base.run_precompute_and_assemble()
@@ -221,7 +279,31 @@ def test_corrupt_data_file_starts_fresh(small_dataset, tmp_path):
     eng2 = make_engine(small_dataset, str(ck))
     loaded = spy_loads(eng2)
     eng2.run_precompute_and_assemble()
-    assert min(loaded) == 0, "corrupt state must restart from block 0"
+    # precompute resumes at 6 (totals are intact); the corrupt block 2 is
+    # the only pre-crash block ever re-read, by the pass-2 cache miss
+    assert sorted(set(loaded)) == [2, 6, 7]
+    np.testing.assert_array_equal(eng2.T_all, base.T_all)
+    np.testing.assert_array_equal(eng2.q_all, base.q_all)
+
+
+def test_corrupt_totals_starts_fresh(small_dataset, tmp_path):
+    """Corrupt TOTALS are unusable state: resume must fall back to a
+    fresh start (reset), not crash."""
+    ck = tmp_path / "ck"
+    base = make_engine(small_dataset)
+    base.run_precompute_and_assemble()
+
+    eng = make_engine(small_dataset, str(ck))
+    crash_commit_after(eng, n_allowed=5)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eng.run_precompute_and_assemble()
+    victim = ck / "totals.npz"
+    victim.write_bytes(victim.read_bytes()[:10])
+
+    eng2 = make_engine(small_dataset, str(ck))
+    loaded = spy_loads(eng2)
+    eng2.run_precompute_and_assemble()
+    assert min(loaded) == 0, "corrupt totals must restart from block 0"
     np.testing.assert_array_equal(eng2.T_all, base.T_all)
     np.testing.assert_array_equal(eng2.q_all, base.q_all)
 

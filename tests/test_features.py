@@ -182,6 +182,88 @@ def test_fast_synth_dataset(tmp_path):
     assert abs(st[0] - 0.5) < 0.15
 
 
+def _truncate_lines(src, dst, drop=2, keep_header=False):
+    with open(src) as f:
+        lines = f.readlines()
+    with open(dst, "w") as f:
+        f.writelines(lines[:len(lines) - drop])
+    return dst
+
+
+def test_input_geometry_validation(small_dataset, tmp_path):
+    """Mismatched side-file geometry must raise a ValueError naming BOTH
+    files at load time, not a broadcast error deep in the engine
+    (VERDICT r4 #4; the reference has no such guard)."""
+    from pyrhe_tpu.core.data import load_dataset
+
+    ds = small_dataset
+    ok = dict(geno_file=ds["prefix"], annot_file=ds["annot1_path"],
+              pheno_file=ds["pheno_path"], cov_file=ds["cov_path"],
+              env_file=ds["env_path"], num_random_vec=4, seed=7)
+    load_dataset(**ok)   # sanity: the untruncated combination loads
+
+    bad_annot = _truncate_lines(ds["annot1_path"],
+                                str(tmp_path / "short.annot"))
+    with pytest.raises(ValueError, match=r"short\.annot.*\.bim"):
+        load_dataset(**{**ok, "annot_file": bad_annot})
+
+    bad_pheno = _truncate_lines(ds["pheno_path"],
+                                str(tmp_path / "short.pheno"))
+    with pytest.raises(ValueError, match=r"short\.pheno.*\.fam"):
+        load_dataset(**{**ok, "pheno_file": bad_pheno})
+
+    bad_cov = _truncate_lines(ds["cov_path"], str(tmp_path / "short.cov"))
+    with pytest.raises(ValueError, match=r"short\.cov.*\.fam"):
+        load_dataset(**{**ok, "cov_file": bad_cov})
+
+    bad_env = _truncate_lines(ds["env_path"], str(tmp_path / "short.env"))
+    with pytest.raises(ValueError, match=r"short\.env.*\.fam"):
+        load_dataset(**{**ok, "env_file": bad_env})
+
+
+def test_report_flags_non_finite(small_dataset, tmp_path):
+    """A NaN sigma/SE/h2 must surface as a loud report WARNING naming the
+    offending keys, never ride the regex-parsed output silently."""
+    rhe = make_model(small_dataset, tmp_path)
+    rhe._check_finite({"sigma_ests_total": np.array([0.4, 0.6]),
+                       "h2_errs": [0.1, np.nan],
+                       "enrichment_total": np.array([np.inf])})
+    warn = [m for m in rhe.log.msgs if "non-finite" in m]
+    assert len(warn) == 1
+    assert "enrichment_total, h2_errs" in warn[0]
+    assert "sigma_ests_total" not in warn[0]
+
+    res = rhe(trait=0)   # a real healthy run must NOT warn
+    assert all(np.all(np.isfinite(np.asarray(v, np.float64)))
+               for v in res.values())
+    assert len([m for m in rhe.log.msgs if "non-finite" in m]) == 1
+
+
+def test_pallas_downgrade_note_on_accelerator(small_dataset, tmp_path):
+    """When the fused kernels are disabled on an accelerator (exact
+    mm_mode / explicit opt-out), the ~6-10x slowdown must be named in the
+    report, not silent (VERDICT r4 #8)."""
+    from pyrhe_tpu.utils.logger import Logger
+
+    rhe = make_model(small_dataset, tmp_path)
+    eng = rhe.engine
+    assert not any("Pallas kernels DISABLED" in m for m in rhe.log.msgs), \
+        "CPU runs are not downgrades and must not warn"
+
+    class FakeTpu:
+        platform = "tpu"
+        device_kind = "fake v5 lite"
+
+    eng._dev = FakeTpu()
+    eng.mm_mode = "exact"          # float64-style mode: no bf16 kernels
+    eng.log = Logger(suppress=True, debug_mode=False)
+    eng._setup_pallas()
+    assert not eng.use_pallas
+    notes = [m for m in eng.log.msgs if "Pallas kernels DISABLED" in m]
+    assert len(notes) == 1 and "mm_mode='exact'" in notes[0]
+
+
+@pytest.mark.filterwarnings("error::RuntimeWarning")
 def test_multi_trait_matches_independent_single_trait(small_dataset,
                                                       tmp_path):
     """Value-level multi-trait correctness (VERDICT r2 #6): in the shared-
@@ -208,13 +290,13 @@ def test_multi_trait_matches_independent_single_trait(small_dataset,
                        tmp_path, cov_file=small_dataset["cov_path"])
     multi.engine.run_precompute_and_assemble()
     sj_m, st_m = multi.engine.estimate(1)
-    se_m = S.jackknife_se(sj_m, st_m)
+    se_m = S.jackknife_se(sj_m, sj_m.shape[0])
 
     solo = make_model(dict(small_dataset, pheno_path=single), tmp_path,
                       cov_file=small_dataset["cov_path"])
     solo.engine.run_precompute_and_assemble()
     sj_s, st_s = solo.engine.estimate(0)
-    se_s = S.jackknife_se(sj_s, st_s)
+    se_s = S.jackknife_se(sj_s, sj_s.shape[0])
 
     np.testing.assert_allclose(st_m, st_s, rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(sj_m, sj_s, rtol=1e-10, atol=1e-12)

@@ -56,6 +56,45 @@ def test_pallas_binary_impute_fills_match(small_dataset):
         assert np.all(fill_p[m:] == 0)
 
 
+@pytest.mark.parametrize("model,genie_model,env", [
+    ("rhe", "G", False),
+    ("genie", "G+GxE+NxE", True),
+])
+def test_pallas_engine_filtered_matches_jnp(filtered_dataset, model,
+                                            genie_model, env):
+    """Individual filtering (missing pheno rows) must run the fused
+    kernels too — the round-4 keep_idx perf cliff. Dropped individuals
+    are zero-masked in the kernels' padded layout; parity vs the jnp
+    path, which standardizes over the host-filtered matrix."""
+    eng_j = run(filtered_dataset, use_pallas=False, model=model,
+                genie_model=genie_model, env=env)
+    eng_p = run(filtered_dataset, use_pallas=True, model=model,
+                genie_model=genie_model, env=env)
+    assert eng_p.use_pallas
+    assert eng_p.data.bed.keep_idx is not None
+    assert eng_p.data.num_indv == 600 - filtered_dataset["n_missing"]
+    np.testing.assert_allclose(eng_p.T_all, eng_j.T_all, rtol=5e-4,
+                               atol=5e-3)
+    np.testing.assert_allclose(eng_p.q_all, eng_j.q_all, rtol=5e-4,
+                               atol=5e-3)
+    sj_p, st_p = eng_p.estimate(0)
+    sj_j, st_j = eng_j.estimate(0)
+    np.testing.assert_allclose(st_p, st_j, rtol=2e-3, atol=2e-4)
+
+
+def test_pallas_filtered_fills_match(filtered_dataset):
+    """Keep-corrected packed_col_stats must reproduce the decode-path
+    fills bit-exactly under filtering (same HWE draws, same p)."""
+    eng_j = run(filtered_dataset, use_pallas=False)
+    eng_p = run(filtered_dataset, use_pallas=True)
+    for j in [0, 3]:
+        _, fill_j, mode_j = eng_j._load_block(j)
+        _, fill_p, mode_p = eng_p._load_block(j)
+        assert mode_j == "host" and mode_p == "pallas"
+        m = len(fill_j)
+        np.testing.assert_array_equal(fill_p[:m], fill_j)
+
+
 def test_hybrid_cache_matches_full_and_streaming(small_dataset,
                                                  monkeypatch):
     """Sequential chunked path with a partial stats cache

@@ -146,6 +146,36 @@ def test_sharded_pallas_interpret(small_dataset):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_sharded_pallas_filtered(filtered_dataset):
+    """Filtered individuals (missing pheno rows -> keep_idx) on the
+    sharded Pallas path: staging stays packed/cleaned and the mask
+    zero-weights dropped rows — parity vs the sequential jnp engine on
+    the host-filtered matrix."""
+    from pyrhe_tpu.core.data import load_dataset
+    from pyrhe_tpu.core.engine import Engine, ModelSpec, RunConfig
+
+    ds = filtered_dataset
+
+    def mk(use_pallas):
+        data = load_dataset(ds["prefix"], annot_file=ds["annot1_path"],
+                            pheno_file=ds["pheno_path"],
+                            num_random_vec=4, seed=7)
+        cfg = RunConfig(num_random_vec=4, num_jack=4, seed=7,
+                        geno_impute_method="binary", dtype="float32",
+                        mm_mode="exact", use_pallas=use_pallas)
+        return Engine(data, ModelSpec.build("rhe"), cfg)
+
+    eng_ref = mk(False)
+    eng_ref.run_precompute_and_assemble()
+    eng_pl = mk(True)
+    assert eng_pl.use_pallas and eng_pl.data.bed.keep_idx is not None
+    eng_pl.run_sharded(make_mesh(2))
+    np.testing.assert_allclose(eng_pl.T_all, eng_ref.T_all,
+                               rtol=5e-4, atol=5e-3)
+    np.testing.assert_allclose(eng_pl.q_all, eng_ref.q_all,
+                               rtol=5e-4, atol=5e-3)
+
+
 # ------------------------------------------------------------ checkpointing
 def _ck_engines(ds, ck=None, streaming=False, J=6, B=4):
     def mk():
