@@ -49,8 +49,10 @@ def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32",
     mm_mode = {"float32": "split2", "bfloat16": "bf16",
                "exact": "exact"}[dtype_mode]
 
+    use_acc = impl == "pallas" and os.environ.get("BENCH_ACC", "1") == "1"
     if impl == "pallas":
         from pyrhe_tpu.ops.kernels import pad_to, plane_permutation
+        from pyrhe_tpu.ops.moments import block_stats_pallas_acc_core
         tm, tn = 512, 2048
         n_pad = pad_to(N, tn)
         perm = plane_permutation(n_pad, tn, planes=16)  # word decode mode
@@ -71,6 +73,16 @@ def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32",
                 components=(("add", None),), b2=b2, dtype=jnp.float32,
                 kernel_dtype=jnp.bfloat16, clean=True, word=True,
                 tm=tm, tn=tn, mm_split=(mm_mode == "split2"))
+
+        def stats_acc(blk, totk):
+            # the engine's keep=False body (Engine._chunk_scan_fn fast
+            # path): totals aliased into the stage-2 kernel, no
+            # per-block stats in HBM. BENCH_ACC=0 measures the standard
+            # materialize+accumulate body for A/B.
+            return block_stats_pallas_acc_core(
+                blk, fill, annot_d, P, mask, totk, n_indiv=N, b2=b2,
+                dtype=jnp.float32, kernel_dtype=jnp.bfloat16, clean=True,
+                word=True, tm=tm, tn=tn, mm_split=(mm_mode == "split2"))
         N_out = n_pad
     else:
         P = jax.device_put(rng.normal(size=(N, Bp)).astype(np.float32), dev)
@@ -95,12 +107,20 @@ def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32",
 
         @jax.jit
         def run(blocks):
-            def body(carry, blk):
-                XXP, yXXy, _ = stats(blk)
-                return (carry[0] + XXP, carry[1] + yXXy), None
+            if use_acc:
+                def body(carry, blk):
+                    ntot, yXXy = stats_acc(blk, carry[0])
+                    return (ntot, carry[1] + yXXy), None
 
-            init = (jnp.zeros((K, N_out, b2), jnp.float32),
-                    jnp.zeros((K, T), jnp.float32))
+                init = (jnp.zeros((K * b2, N_out), jnp.float32),
+                        jnp.zeros((K, T), jnp.float32))
+            else:
+                def body(carry, blk):
+                    XXP, yXXy, _ = stats(blk)
+                    return (carry[0] + XXP, carry[1] + yXXy), None
+
+                init = (jnp.zeros((K, N_out, b2), jnp.float32),
+                        jnp.zeros((K, T), jnp.float32))
             (tot, toty), _ = jax.lax.scan(body, init, blocks)
             return jnp.sum(tot) + jnp.sum(toty)
 

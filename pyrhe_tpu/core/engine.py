@@ -762,6 +762,15 @@ class Engine:
             self._ckpt.save_totals(tot_XXP, tot_y, self.J)
             self._ckpt.commit("assemble", 0)
 
+    def _acc_fast_path(self) -> bool:
+        """keep=False scan bodies can alias the running totals into the
+        stage-2 kernel (ops/moments.block_stats_pallas_acc_core) when the
+        model is single-additive-component (RHE any-K, GENIE G): no
+        per-block stats tensor in HBM, no out-of-kernel transform +
+        accumulate traffic. Dominance/GxE components fall back to the
+        standard kernels."""
+        return self.use_pallas and self.spec.components == (("add", None),)
+
     def _chunk_scan_fn(self, keep_blocks: bool):
         """Jitted: scan block_stats over a stacked chunk of equal-size
         blocks, accumulating totals in-graph (the carried totals avoid an
@@ -769,11 +778,17 @@ class Engine:
         round-trip on a tunneled backend) and stacking per-block stats
         when keep_blocks (non-streaming). Memoized on keep_blocks so the
         streaming assemble pass reuses the precompute pass's jit closure
-        (and its compilation cache entries)."""
+        (and its compilation cache entries).
+
+        keep_blocks=False + single-add-component takes the ALIASED
+        fast path: totals ride the scan carry in kernel-native (K*b2, N)
+        layout and each block's stage-2 kernel updates them in place
+        (bit-identical numerics; layout converted at the scan boundary)."""
         cached = self._scan_fns.get(keep_blocks)
         if cached is not None:
             return cached
-        from ..ops.moments import block_stats_pallas_core
+        from ..ops.moments import (block_stats_pallas_acc_core,
+                                   block_stats_pallas_core)
 
         on_cpu = self._dev.platform == "cpu"
         stat_kw = dict(n_indiv=self.data.num_indv,
@@ -784,6 +799,32 @@ class Engine:
                        mm_split=(self.mm_mode == "split2"), clean=True,
                        word=self.use_word, interpret=on_cpu,
                        tm=self._pl_tm, tn=self._pl_tn)
+
+        if not keep_blocks and self._acc_fast_path():
+            acc_kw = {k: v for k, v in stat_kw.items()
+                      if k != "components"}
+            K, b2 = self.K, self.b2
+
+            @jax.jit
+            def run(packed_s, fill_s, annot_s, tot_X, tot_y, P, env, mask):
+                # (K, N, b2) engine layout -> (K*b2, N) kernel layout
+                totk = tot_X.transpose(0, 2, 1).reshape(K * b2, -1)
+
+                def body(carry, xs):
+                    p, f, a = xs
+                    tk, ty = carry
+                    ntot, yXXy = block_stats_pallas_acc_core(
+                        p, f, a, P, mask, tk, **acc_kw)
+                    return (ntot, ty + yXXy), None
+
+                (totk, tot_y), _ = jax.lax.scan(
+                    body, (totk, tot_y), (packed_s, fill_s, annot_s))
+                N = totk.shape[1]
+                tot_X = totk.reshape(K, b2, N).transpose(0, 2, 1)
+                return (tot_X, tot_y), None
+
+            self._scan_fns[keep_blocks] = run
+            return run
 
         @jax.jit
         def run(packed_s, fill_s, annot_s, tot_X, tot_y, P, env, mask):

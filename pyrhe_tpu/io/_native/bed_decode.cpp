@@ -115,8 +115,9 @@ void bed_col_stats(const uint8_t* dosage, int64_t m, int64_t n, double* sums,
 // missing count across its 4 samples. n_orig is the true individual count
 // (trailing pad bits in the last byte are code 0 = dosage 0, so they only
 // need excluding from the missing count, which they never hit).
+// Multithreaded over SNP rows (each row is independent).
 void bed_packed_col_stats(const uint8_t* packed, int64_t m, int64_t n_orig,
-                          double* sums, int64_t* nmiss) {
+                          double* sums, int64_t* nmiss, int n_threads) {
   static int16_t sum_t[256];
   static int8_t miss_t[256];
   static bool init = false;
@@ -136,16 +137,32 @@ void bed_packed_col_stats(const uint8_t* packed, int64_t m, int64_t n_orig,
     init = true;
   }
   const int64_t bytes_per_snp = (n_orig + 3) / 4;
-  for (int64_t s = 0; s < m; ++s) {
-    const uint8_t* row = packed + s * bytes_per_snp;
-    int64_t sum = 0, miss = 0;
-    for (int64_t b = 0; b < bytes_per_snp; ++b) {
-      sum += sum_t[row[b]];
-      miss += miss_t[row[b]];
+  auto work = [&](int64_t s0, int64_t s1) {
+    for (int64_t s = s0; s < s1; ++s) {
+      const uint8_t* row = packed + s * bytes_per_snp;
+      int64_t sum = 0, miss = 0;
+      for (int64_t b = 0; b < bytes_per_snp; ++b) {
+        sum += sum_t[row[b]];
+        miss += miss_t[row[b]];
+      }
+      sums[s] = static_cast<double>(sum);
+      nmiss[s] = miss;
     }
-    sums[s] = static_cast<double>(sum);
-    nmiss[s] = miss;
+  };
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads == 1 || m < 8) {
+    work(0, m);
+    return;
   }
+  std::vector<std::thread> ts;
+  int64_t chunk = (m + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t s0 = t * chunk;
+    int64_t s1 = s0 + chunk < m ? s0 + chunk : m;
+    if (s0 >= s1) break;
+    ts.emplace_back(work, s0, s1);
+  }
+  for (auto& th : ts) th.join();
 }
 
 // Rewrite missing codes (0b01) in packed .bed bytes with a per-SNP fill

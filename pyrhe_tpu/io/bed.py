@@ -57,7 +57,7 @@ def _load_native():
         ]
         lib.bed_packed_col_stats.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
         ]
         lib.bed_clean_packed.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -220,7 +220,8 @@ class BedFile:
             sums = np.empty(m, dtype=np.float64)
             nmiss = np.empty(m, dtype=np.int64)
             lib.bed_packed_col_stats(packed.ctypes.data, m, self.num_indiv,
-                                     sums.ctypes.data, nmiss.ctypes.data)
+                                     sums.ctypes.data, nmiss.ctypes.data,
+                                     self.num_threads)
             if self.keep_idx is not None and len(self._drop_byte):
                 codes = (packed[:, self._drop_byte]
                          >> self._drop_shift[None, :]) & 3   # (m, n_drop)

@@ -212,6 +212,101 @@ def _ytg_kernel(packed_ref, fill_ref, yt_ref, out_ref, *, dtype, square,
         out_ref[:] += _dots(yt, g, ((1,), (0,)), split, dtype)
 
 
+def _ytg_acc_kernel(packed_ref, fill_ref, yt_ref, rank1_ref, mask_ref,
+                    tot_ref, out_ref, acc_ref, *, dtype, split, clean,
+                    word, planewise):
+    """Stage 2 with the running TOTALS aliased into the kernel: per SNP
+    row-tile i the raw y^T g contribution accumulates into a VMEM scratch,
+    and at the LAST i the standardization rank-1 correction + validity
+    mask are applied and the result is added onto the aliased totals tile
+    — so the per-block (Q, N) stats tensor is never materialized in HBM
+    and the out-of-kernel transform-read + accumulate-read/write
+    (~3 x 84 MB per flagship block, docs/design/perf.md 'Remaining gap')
+    disappears. Only valid when nothing downstream needs the per-block
+    stats (the keep=False scan bodies: streaming pass 1 / hybrid tail)."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # same planewise-vs-concat split as _ytg_kernel so the accumulated
+    # dots are BITWISE identical to the standard path's at every shape
+    # (mode-equivalence tests assert exact equality across cache modes)
+    tnb = packed_ref.shape[1]
+    planes = _plane_iter(packed_ref, fill_ref, dtype, False, clean, word)
+    yt = yt_ref[:]
+    if planewise:
+        for p, g in enumerate(planes):
+            acc_ref[:, p * tnb:(p + 1) * tnb] += _dots(
+                yt, g, ((1,), (0,)), False, dtype)
+    else:
+        g = jnp.concatenate(list(planes), axis=1)
+        acc_ref[:] += _dots(yt, g, ((1,), (0,)), False, dtype)
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _():
+        a = acc_ref[:]
+        if split:                       # hi/lo halves stacked on rows
+            Q = a.shape[0] // 2
+            a = a[:Q] + a[Q:]
+        out_ref[:] = tot_ref[:] + (a - rank1_ref[:]) * mask_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tn", "dtype",
+                                             "interpret", "clean", "word",
+                                             "split", "planewise"))
+def ytg_acc_matmul(packed, fill, Yt, rank1, mask, tot, *, tm=256, tn=512,
+                   dtype=jnp.bfloat16, interpret=False, clean=False,
+                   word=False, split=False, planewise=True):
+    """new_tot = tot + mask ⊙ (Y^T g − rank1), fused + aliased: `tot`
+    ((Q, n_pad) f32, kernel-native stats layout) is donated and updated
+    in place. Yt: (2Q, m_pad) hi/lo-stacked when split else (Q, m_pad);
+    rank1: (Q, 1) f32; mask: (1, n_pad) f32 plane-permuted validity."""
+    per_lane = 16 if word else 4
+    m_pad, nb_pad = packed.shape
+    n_pad = per_lane * nb_pad
+    Qr = Yt.shape[0]
+    Q = Qr // 2 if split else Qr
+    assert m_pad % tm == 0 and n_pad % tn == 0
+    assert rank1.shape == (Q, 1) and mask.shape == (1, n_pad)
+    assert tot.shape == (Q, n_pad)
+    tnb = tn // per_lane
+    grid = (n_pad // tn, m_pad // tm)
+    return pl.pallas_call(
+        functools.partial(_ytg_acc_kernel, dtype=dtype, split=split,
+                          clean=clean, word=word, planewise=planewise),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tnb), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Qr, tm), lambda j, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, 1), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, tn), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Q, tn), lambda j, i: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Q, n_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Qr, tn), jnp.float32)],
+        input_output_aliases={5: 0},
+        compiler_params=_compiler_params(interpret,
+                                         ("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n_pad * Qr,
+            bytes_accessed=m_pad * n_pad // 4 + m_pad * Qr * 4
+            + 2 * n_pad * Q * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(packed, fill, Yt, rank1, mask, tot)
+
+
 def _compiler_params(interpret, semantics):
     if interpret:
         return None

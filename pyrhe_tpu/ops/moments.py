@@ -316,6 +316,91 @@ block_stats_pallas = partial(
 )(block_stats_pallas_core)
 
 
+def _hilo(R32, axis):
+    hi = R32.astype(jnp.bfloat16)
+    lo = (R32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, lo], axis=axis)
+
+
+def block_stats_pallas_acc_core(
+    packed,         # (m_pad, nb_pad) u8 / int32 words, rows zero-padded
+    fill,           # (m_pad,)
+    annot_f,        # (m_pad, K)
+    P_perm,         # (n_pad, Bp) plane-permuted probes
+    valid_mask,     # (n_pad,)
+    tot_kernel,     # (K*b2, n_pad) f32 running totals, KERNEL layout
+    *,
+    n_indiv: int,
+    b2: int,
+    dtype=jnp.float32,
+    kernel_dtype=jnp.bfloat16,
+    mm_split: bool = False,
+    clean: bool = False,
+    interpret: bool = False,
+    tm: int = 256,
+    tn: int = 512,
+    word: bool = False,
+):
+    """Single-additive-component specialization of block_stats_pallas_core
+    whose stage 2 ALIASES the running totals into the kernel
+    (ops/kernels.ytg_acc_matmul): the per-block (Q, N) stats tensor is
+    never materialized in HBM, folding the out-of-kernel rank-1/mask
+    transform and the totals read-modify-write into the kernel epilogue.
+    Only usable where nothing needs the per-block stats — the keep=False
+    scan bodies (streaming pass 1 / hybrid tail); the engine falls back
+    to block_stats_pallas_core everywhere else (dominance, GxE, cached
+    chunks). Bit-identical to the standard path: identical dot order,
+    identical f32 elementwise transform, identical accumulate order.
+
+    Returns (new_tot_kernel (K*b2, n_pad) f32, yXXy (K, T))."""
+    from .kernels import gp_matmul, ytg_acc_matmul
+
+    fill2 = fill[:, None].astype(jnp.float32)
+    m, K = annot_f.shape
+    Bp = P_perm.shape[1]
+    split = mm_split and kernel_dtype == jnp.bfloat16
+
+    # ---- stage 1 + standardization algebra (mirrors _moment_algebra's
+    # single-add branch, ops/moments.py:107-170) ----
+    C_all = jnp.concatenate(
+        [valid_mask[:, None].astype(dtype), P_perm], axis=1)
+    csum = _colsum(C_all)
+    C32 = C_all.astype(jnp.float32)
+    if split:
+        out = gp_matmul(packed, fill2, _hilo(C32, 1), tm=tm, tn=tn,
+                        dtype=kernel_dtype, interpret=interpret,
+                        clean=clean, word=word)
+        Wc = C_all.shape[1]
+        GP = (out[:, :Wc] + out[:, Wc:]).astype(dtype)
+    else:
+        GP = gp_matmul(packed, fill2, C32, tm=tm, tn=tn,
+                       dtype=kernel_dtype, interpret=interpret,
+                       clean=clean, word=word).astype(dtype)
+    mean = GP[:, 0] / n_indiv
+    var_add = mean * (1.0 - 0.5 * mean)
+    d_add = jnp.where(var_add > 0,
+                      jax.lax.rsqrt(jnp.maximum(var_add, 1e-30)), 0.0)
+    GPr, s_r = GP[:, 1:], csum[1:]
+    U = d_add[:, None] * (GPr - mean[:, None] * s_r[None, :])
+    Uy = U[:, b2:]
+    yXXy = jnp.sum((Uy * Uy)[:, None, :] * annot_f[:, :, None], axis=0)
+    W = (U[:, None, :b2] * annot_f[:, :, None]).reshape(m, K * b2)
+    Yg = d_add[:, None] * W
+    rank1 = jnp.sum(mean[:, None] * Yg, axis=0)          # (K*b2,)
+
+    Yt = Yg.astype(jnp.float32).T                        # (Q, m)
+    Yt = _hilo(Yt, 0) if split else Yt.astype(kernel_dtype)
+    # same auto planewise rule as block_stats_pallas_core.run2 — the
+    # dot blocking must match the standard path's bitwise
+    pw = Yt.shape[0] < 64
+    new_tot = ytg_acc_matmul(
+        packed, fill2, Yt, rank1[:, None].astype(jnp.float32),
+        valid_mask[None, :].astype(jnp.float32), tot_kernel,
+        tm=tm, tn=tn, dtype=kernel_dtype, interpret=interpret,
+        clean=clean, word=word, split=split, planewise=pw)
+    return new_tot, yXXy.astype(dtype)
+
+
 def nxe_stats(env, Z, Uzb, Y, b2, B, dtype=jnp.float32):
     """Analytic hetero-noise (NxE) component statistics.
 

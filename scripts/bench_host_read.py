@@ -66,7 +66,7 @@ def main():
         out = np.zeros((m_span, ((args.N + 3) // 4 + 511) // 512 * 512),
                        np.uint8)
         t0 = time.perf_counter()
-        clean_packed(packed, fill, out=out)
+        clean_packed(packed, fill, out=out, num_threads=nt)
         t_clean = time.perf_counter() - t0
         mb = m_span * bps / 1e6
         total = t_read + t_stats + t_clean

@@ -146,6 +146,38 @@ def test_sharded_pallas_interpret(small_dataset):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_sharded_pallas_streaming_acc_matches_cached(small_dataset,
+                                                     monkeypatch):
+    """Sharded streaming under Pallas takes the aliased-totals fast path
+    (ShardedRunner._scan_stats keep=False); it must stay BIT-identical
+    to the fully-cached sharded run, whose pass 1 uses the standard
+    materializing kernels."""
+    import jax.numpy as jnp
+
+    from pyrhe_tpu.core.data import load_dataset
+    from pyrhe_tpu.core.engine import Engine, ModelSpec, RunConfig
+
+    ds = small_dataset
+
+    def mk(streaming):
+        data = load_dataset(ds["prefix"], annot_file=ds["annot8_path"],
+                            pheno_file=ds["pheno_path"],
+                            num_random_vec=4, seed=7)
+        cfg = RunConfig(num_random_vec=4, num_jack=4, seed=7,
+                        geno_impute_method="binary", dtype="float32",
+                        mm_mode="exact", use_pallas=True,
+                        streaming=streaming)
+        return Engine(data, ModelSpec.build("rhe"), cfg)
+
+    eng_c = mk(False)
+    assert eng_c.use_pallas and eng_c._acc_fast_path()
+    eng_c.run_sharded(make_mesh(2))
+    eng_s = mk(True)
+    eng_s.run_sharded(make_mesh(2))
+    np.testing.assert_array_equal(eng_s.T_all, eng_c.T_all)
+    np.testing.assert_array_equal(eng_s.q_all, eng_c.q_all)
+
+
 def test_sharded_pallas_filtered(filtered_dataset):
     """Filtered individuals (missing pheno rows -> keep_idx) on the
     sharded Pallas path: staging stays packed/cleaned and the mask
