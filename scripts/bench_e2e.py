@@ -41,6 +41,10 @@ def main():
                     help="crash-safe resume snapshots for the long "
                          "target-scale runs (BASELINE N=300k/M=500k)")
     ap.add_argument("--stage_streams", type=int, default=0)
+    ap.add_argument("--pheno", default=None,
+                    help="phenotype file override (e.g. an NA-bearing "
+                         "variant for the filtered-vs-complete "
+                         "throughput row, docs/design/perf.md)")
     ap.add_argument("--cache_blocks", type=int, default=-1,
                     help="hybrid stats-cache split (RunConfig.cache_blocks)")
     ap.add_argument("--cold_read", action="store_true",
@@ -92,7 +96,7 @@ def main():
 
     t0 = time.time()
     data = load_dataset(prefix, annot_file=prefix + ".annot",
-                        pheno_file=prefix + ".pheno",
+                        pheno_file=args.pheno or prefix + ".pheno",
                         num_random_vec=args.k, seed=1)
     spec = ModelSpec.build(args.model)
     eng = Engine(data, spec, RunConfig(num_random_vec=args.k,

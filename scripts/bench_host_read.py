@@ -50,11 +50,18 @@ def main():
         # one contiguous span, timed per stage
         s = int(rng.integers(0, max(1, args.M - m_span)))
         t0 = time.perf_counter()
-        packed = bed.read_packed_block(s, s + m_span)
+        # np.array forces the copy out of the mmap (read_packed_block
+        # returns a lazy view; without this the page-fault cost would
+        # leak into the col_stats timing)
+        packed = np.array(bed.read_packed_block(s, s + m_span))
         t_read = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        sums, nmiss = bed.packed_col_stats(packed)
-        t_stats = time.perf_counter() - t0
+        # CPU stages on RESIDENT memory, best of 2 (first call pays LUT
+        # init / cold code paths)
+        t_stats = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            sums, nmiss = bed.packed_col_stats(packed)
+            t_stats = min(t_stats, time.perf_counter() - t0)
         rs = np.random.RandomState(args.seed)
         rval = rs.random_sample(m_span)
         p = np.divide(sums, args.N - nmiss,
@@ -63,11 +70,15 @@ def main():
         fill = np.where(rval < (1 - p) ** 2, 0.0,
                         np.where(rval < (1 - p) ** 2 + 2 * p * (1 - p),
                                  1.0, 2.0))
-        out = np.zeros((m_span, ((args.N + 3) // 4 + 511) // 512 * 512),
+        out = np.empty((m_span, ((args.N + 3) // 4 + 511) // 512 * 512),
                        np.uint8)
-        t0 = time.perf_counter()
-        clean_packed(packed, fill, out=out, num_threads=nt)
-        t_clean = time.perf_counter() - t0
+        out.fill(0)   # pre-touch: first-touch page faults must not land
+        # inside the clean timing (production reuses staged buffers)
+        t_clean = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            clean_packed(packed, fill, out=out, num_threads=nt)
+            t_clean = min(t_clean, time.perf_counter() - t0)
         mb = m_span * bps / 1e6
         total = t_read + t_stats + t_clean
         print(json.dumps({
