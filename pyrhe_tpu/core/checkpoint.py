@@ -234,23 +234,12 @@ class Checkpoint:
                                  Xs=np.asarray(Xs), Ys=np.asarray(Ys))
         self._pending.clear()
 
-    def load_blocks(self, upto: int):
-        """{j: (XXP, yXXy)} as host arrays for all blocks < upto, or None
-        (state cleared) if any file is missing/corrupt."""
-        def _load():
-            out = {}
-            for j in range(upto):
-                with np.load(self._path(f"block_{j:06d}.npz")) as z:
-                    out[j] = (z["XXP"], z["yXXy"])
-            return out
-        return self._load_or_reset(_load)
-
     def load_blocks_partial(self, upto: int):
         """{j: (XXP, yXXy)} for whichever block files < upto exist and
-        load. Unlike load_blocks, a missing or corrupt file is simply
-        skipped instead of resetting state: under a cache_limit only the
-        budgeted blocks were ever staged, and pass 2 recomputes any hole
-        through _loo_stats' cache-miss branch."""
+        load. A missing or corrupt file is simply skipped instead of
+        resetting state: under a cache_limit only the budgeted blocks
+        were ever staged, and pass 2 recomputes any hole through
+        _loo_stats' cache-miss branch."""
         out = {}
         for j in range(upto):
             path = self._path(f"block_{j:06d}.npz")
@@ -265,10 +254,10 @@ class Checkpoint:
 
     def load_chunks_prefix(self, upto: int):
         """[(j0, C, Xs, Ys)] for the longest loadable prefix of chunk
-        files covering blocks [0, upto). Unlike load_chunks, a missing or
-        corrupt file just ENDS the prefix instead of resetting state:
-        under the hybrid cache only the HBM-budgeted chunks have files on
-        disk, and the remainder is legitimately recomputed in pass 2."""
+        files covering blocks [0, upto). A missing or corrupt file just
+        ENDS the prefix instead of resetting state: under the hybrid
+        cache only the HBM-budgeted chunks have files on disk, and the
+        remainder is legitimately recomputed in pass 2."""
         chunks, j = [], 0
         while j < upto:
             path = self._path(f"chunk_{j:06d}.npz")
@@ -282,19 +271,6 @@ class Checkpoint:
                 break
             j += C
         return chunks
-
-    def load_chunks(self, upto: int):
-        """[(j0, C, Xs, Ys)] covering blocks [0, upto), in order, or None
-        (state cleared) if any file is missing/corrupt."""
-        def _load():
-            chunks, j = [], 0
-            while j < upto:
-                with np.load(self._path(f"chunk_{j:06d}.npz")) as z:
-                    C = int(z["C"])
-                    chunks.append((j, C, z["Xs"], z["Ys"]))
-                j += C
-            return chunks
-        return self._load_or_reset(_load)
 
     def save_assemble(self, T_part, q_part, next_j: int) -> None:
         _atomic_save_npz(self._path("assemble.npz"),

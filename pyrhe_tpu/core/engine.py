@@ -767,9 +767,23 @@ class Engine:
         stage-2 kernel (ops/moments.block_stats_pallas_acc_core) when the
         model is single-additive-component (RHE any-K, GENIE G): no
         per-block stats tensor in HBM, no out-of-kernel transform +
-        accumulate traffic. Dominance/GxE components fall back to the
-        standard kernels."""
-        return self.use_pallas and self.spec.components == (("add", None),)
+        accumulate traffic. Dominance/GxE components — and float64
+        working dtype (the kernel's aliased totals buffer is f32) — fall
+        back to the standard kernels."""
+        return (self.use_pallas and self.dtype == jnp.float32
+                and self.spec.components == (("add", None),))
+
+    def _acc_stat_kw(self) -> dict:
+        """Shared kernel-parameter dict for the aliased fast path — ONE
+        source of truth for the sequential engine and the sharded runner
+        (their bit-identity depends on identical parameters)."""
+        on_cpu = self._dev.platform == "cpu"
+        return dict(n_indiv=self.data.num_indv, b2=self.b2,
+                    dtype=self.dtype,
+                    kernel_dtype=(jnp.float32 if on_cpu else jnp.bfloat16),
+                    mm_split=(self.mm_mode == "split2"), clean=True,
+                    word=self.use_word, interpret=on_cpu,
+                    tm=self._pl_tm, tn=self._pl_tn)
 
     def _chunk_scan_fn(self, keep_blocks: bool):
         """Jitted: scan block_stats over a stacked chunk of equal-size
@@ -787,41 +801,20 @@ class Engine:
         cached = self._scan_fns.get(keep_blocks)
         if cached is not None:
             return cached
-        from ..ops.moments import (block_stats_pallas_acc_core,
-                                   block_stats_pallas_core)
+        from ..ops.moments import acc_scan_stats, block_stats_pallas_core
 
-        on_cpu = self._dev.platform == "cpu"
-        stat_kw = dict(n_indiv=self.data.num_indv,
-                       components=self.spec.components, b2=self.b2,
-                       dtype=self.dtype,
-                       kernel_dtype=(jnp.float32 if on_cpu
-                                     else jnp.bfloat16),
-                       mm_split=(self.mm_mode == "split2"), clean=True,
-                       word=self.use_word, interpret=on_cpu,
-                       tm=self._pl_tm, tn=self._pl_tn)
+        stat_kw = dict(self._acc_stat_kw(),
+                       components=self.spec.components)
 
         if not keep_blocks and self._acc_fast_path():
-            acc_kw = {k: v for k, v in stat_kw.items()
-                      if k != "components"}
-            K, b2 = self.K, self.b2
+            acc_kw = self._acc_stat_kw()
+            K = self.K
 
             @jax.jit
             def run(packed_s, fill_s, annot_s, tot_X, tot_y, P, env, mask):
-                # (K, N, b2) engine layout -> (K*b2, N) kernel layout
-                totk = tot_X.transpose(0, 2, 1).reshape(K * b2, -1)
-
-                def body(carry, xs):
-                    p, f, a = xs
-                    tk, ty = carry
-                    ntot, yXXy = block_stats_pallas_acc_core(
-                        p, f, a, P, mask, tk, **acc_kw)
-                    return (ntot, ty + yXXy), None
-
-                (totk, tot_y), _ = jax.lax.scan(
-                    body, (totk, tot_y), (packed_s, fill_s, annot_s))
-                N = totk.shape[1]
-                tot_X = totk.reshape(K, b2, N).transpose(0, 2, 1)
-                return (tot_X, tot_y), None
+                carry = acc_scan_stats((packed_s, fill_s, annot_s), P,
+                                       mask, tot_X, tot_y, K=K, **acc_kw)
+                return carry, None
 
             self._scan_fns[keep_blocks] = run
             return run

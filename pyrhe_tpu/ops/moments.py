@@ -67,6 +67,14 @@ def _colsum(x):
     return jnp.sum(x, axis=0)
 
 
+def _hilo(R32, axis):
+    """split2 operand prep: hi/lo bf16 halves packed side by side, so the
+    f32-accuracy path costs ONE MXU pass over a doubled operand."""
+    hi = R32.astype(jnp.bfloat16)
+    lo = (R32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, lo], axis=axis)
+
+
 def block_stats_core(
     geno,           # (m, bytes_per_snp) packed u8 OR (m, N) dosage u8
     fill,           # (m,) imputation fill values
@@ -258,11 +266,6 @@ def block_stats_pallas_core(
     N = P_perm.shape[0]
     split = mm_split and kernel_dtype == jnp.bfloat16
 
-    def _hilo(R32, axis):
-        hi = R32.astype(jnp.bfloat16)
-        lo = (R32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        return jnp.concatenate([hi, lo], axis=axis)
-
     def run1(which, C):
         """split2 packs the probe-side hi/lo bf16 halves side by side so the
         f32-accuracy path costs ONE MXU pass over a 2W-wide operand (vs two
@@ -314,12 +317,6 @@ block_stats_pallas = partial(
                      "mm_split", "clean", "interpret", "tm", "tn", "word",
                      "ytg_planewise"),
 )(block_stats_pallas_core)
-
-
-def _hilo(R32, axis):
-    hi = R32.astype(jnp.bfloat16)
-    lo = (R32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return jnp.concatenate([hi, lo], axis=axis)
 
 
 def block_stats_pallas_acc_core(
@@ -399,6 +396,27 @@ def block_stats_pallas_acc_core(
         tm=tm, tn=tn, dtype=kernel_dtype, interpret=interpret,
         clean=clean, word=word, split=split, planewise=pw)
     return new_tot, yXXy.astype(dtype)
+
+
+def acc_scan_stats(chunk_arrays, P, mask, totX, toty, *, K, **acc_kw):
+    """lax.scan over stacked (packed, fill, annot) blocks through the
+    ALIASED stage-2 kernel: totals enter/leave in engine layout
+    (K, N, b2) but ride the carry in kernel layout (K*b2, N), updated in
+    place per block. Shared by Engine._chunk_scan_fn and
+    ShardedRunner._scan_stats so their bit-identity cannot drift."""
+    b2 = acc_kw["b2"]
+    totk = totX.transpose(0, 2, 1).reshape(K * b2, -1)
+
+    def body(carry, xs):
+        p, f, a = xs
+        tk, ty = carry
+        ntot, yXXy = block_stats_pallas_acc_core(p, f, a, P, mask, tk,
+                                                 **acc_kw)
+        return (ntot, ty + yXXy), None
+
+    (totk, toty), _ = jax.lax.scan(body, (totk, toty), chunk_arrays)
+    N = totk.shape[1]
+    return totk.reshape(K, b2, N).transpose(0, 2, 1), toty
 
 
 def nxe_stats(env, Z, Uzb, Y, b2, B, dtype=jnp.float32):

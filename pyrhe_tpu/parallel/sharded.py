@@ -385,32 +385,13 @@ class ShardedRunner:
         if not keep and eng._acc_fast_path():
             # keep=False supersteps (streaming pass 1 / hybrid tail) take
             # the aliased-totals kernel like the sequential engine
-            # (Engine._chunk_scan_fn fast path): totals ride the scan
-            # carry in kernel layout, updated in place per block —
-            # bit-identical numerics, no per-block stats in HBM
-            from ..ops.moments import block_stats_pallas_acc_core
+            # (Engine._chunk_scan_fn fast path, SAME shared helper +
+            # parameter dict — bit-identity by construction)
+            from ..ops.moments import acc_scan_stats
 
-            on_cpu = eng._dev.platform == "cpu"
-            kw = dict(n_indiv=eng.data.num_indv, b2=eng.b2,
-                      dtype=eng.dtype,
-                      kernel_dtype=(jnp.float32 if on_cpu
-                                    else jnp.bfloat16),
-                      mm_split=(eng.mm_mode == "split2"), clean=True,
-                      word=eng.use_word, interpret=on_cpu,
-                      tm=eng._pl_tm, tn=eng._pl_tn)
-            K, b2 = eng.K, eng.b2
-            totk = totX.transpose(0, 2, 1).reshape(K * b2, -1)
-
-            def body(carry, xs):
-                g, f, a = xs
-                tk, ty = carry
-                ntot, yXXy = block_stats_pallas_acc_core(
-                    g, f, a, P_mat, mask, tk, **kw)
-                return (ntot, ty + yXXy), 0
-
-            (totk, toty), ys = jax.lax.scan(body, (totk, toty), chunk)
-            N = totk.shape[1]
-            return (totk.reshape(K, b2, N).transpose(0, 2, 1), toty), ys
+            carry = acc_scan_stats(chunk, P_mat, mask, totX, toty,
+                                   K=eng.K, **eng._acc_stat_kw())
+            return carry, None
 
         def body(carry, xs):
             g, f, a = xs

@@ -119,8 +119,15 @@ def main():
             out_txt = os.path.join(tracedir, "_out.txt")
             if os.path.exists(out_txt):
                 os.remove(out_txt)   # estimates live in <model>/<name>.txt
-            if rc != 0 and not os.listdir(tracedir):
-                os.rmdir(tracedir)   # no partial/empty golden dirs
+            if rc != 0:
+                # no partial golden dirs: a run that wrote the .MN then
+                # crashed/deadlocked before the .tr must not leave a dir
+                # the parametrized golden test would hard-fail on
+                for f in os.listdir(tracedir):
+                    if f.startswith("run_"):
+                        os.remove(os.path.join(tracedir, f))
+                if not os.listdir(tracedir):
+                    os.rmdir(tracedir)
             results.append((f"trace/{model}", name, status,
                             time.time() - t0))
             print(f"trace/{model}/{name}: {status}", flush=True)

@@ -51,7 +51,10 @@ def group_pheno_files(files: list[str]):
 def merge_pheno_files(paths: list[str], out_path: str):
     """Write a single `FID IID <traits...>` file concatenating every
     group member's trait columns (column names prefixed by file stem to
-    stay unique). Returns the per-file trait counts, in path order."""
+    stay unique). Every member must list the SAME individuals in the
+    SAME order — merging is purely row-positional, so a reordered file
+    would silently attach traits to the wrong IDs otherwise. Returns the
+    per-file trait counts, in path order."""
     fids = None
     headers: list[str] = []
     bodies: list[list[list[str]]] = []
@@ -61,8 +64,13 @@ def merge_pheno_files(paths: list[str], out_path: str):
             lines = [ln.split() for ln in f.read().splitlines()
                      if ln.strip()]
         hdr, rows = lines[0], lines[1:]
+        ids = [(r[0], r[1]) for r in rows]
         if fids is None:
-            fids = [(r[0], r[1]) for r in rows]
+            fids = ids
+        elif ids != fids:
+            raise ValueError(
+                f"{p} lists different (or differently ordered) FID/IID "
+                f"rows than {paths[0]}; cannot merge into one pass")
         stem = os.path.splitext(os.path.basename(p))[0]
         headers.extend(f"{stem}_{h}" for h in hdr[2:])
         bodies.append([r[2:] for r in rows])
@@ -91,22 +99,25 @@ def run_sweep(args) -> dict:
           f"pass(es)", flush=True)
 
     for gi, group in enumerate(groups):
-        t0 = time.time()
         if len(group) == 1:
             pheno_path = group[0]
+            with open(pheno_path) as f:
+                traits_per_file = [len(f.readline().split()) - 2]
         else:
             pheno_path = os.path.join(args.output_dir,
                                       f"_merged_group{gi}.pheno")
-            merge_pheno_files(group, pheno_path)
+            traits_per_file = merge_pheno_files(group, pheno_path)
         model = cls(geno_file=args.genotype, annot_file=args.annotation,
                     pheno_file=pheno_path, cov_file=args.covariate,
                     num_jack=args.num_block, num_random_vec=args.num_vec,
                     seed=args.seed)
         trait0 = 0
-        for path in group:
+        for path, nt in zip(group, traits_per_file):
             name = os.path.splitext(os.path.basename(path))[0]
-            with open(path) as f:
-                nt = len(f.readline().split()) - 2
+            # per-file wall time: the group's shared precompute lands in
+            # the FIRST file's runtime (where the lazy engine pass runs),
+            # later files report only their near-free solve time
+            t_file = time.time()
             # per-file report: swap in a fresh logger so each input file
             # gets its own .txt with only its trait sections
             model.log = Logger(suppress=True, debug_mode=False)
@@ -115,12 +126,12 @@ def run_sweep(args) -> dict:
                 key = name if nt == 1 else f"{name}:trait{t}"
                 summary[key] = {k: (v.tolist() if hasattr(v, "tolist")
                                     else v) for k, v in res.items()}
-                summary[key]["runtime"] = time.time() - t0
+                summary[key]["runtime"] = time.time() - t_file
             model.log.output_file = os.path.join(args.output_dir,
                                                  name + ".txt")
             model.log._save_log()
             trait0 += nt
-            print(f"{name}: done in {time.time() - t0:.1f}s "
+            print(f"{name}: done in {time.time() - t_file:.1f}s "
                   f"(group {gi + 1}/{len(groups)})", flush=True)
 
     with open(os.path.join(args.output_dir, "summary.json"), "w") as f:

@@ -229,3 +229,36 @@ def test_ytg_wide_variant_matches_planewise(word):
     b = np.asarray(ytg_matmul(blk, zf, jnp.asarray(Yt, jnp.float32),
                               planewise=False, **kw))
     np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("word", [False, True])
+def test_ytg_acc_matmul(word):
+    """Aliased-totals stage 2: new_tot = tot + mask * (Yt @ g - rank1),
+    exactly equal to composing the standard ytg_matmul with the
+    out-of-kernel transform (same dot blocking via planewise)."""
+    from pyrhe_tpu.io.bed import clean_packed
+    from pyrhe_tpu.ops.kernels import ytg_acc_matmul, ytg_matmul
+
+    packed_pad, fill_pad, g, perm, m, n, m_pad, n_pad = make_inputs(seed=20)
+    clean_pad = np.zeros_like(packed_pad)
+    clean_packed(packed_pad[:m], fill_pad[:m], out=clean_pad[:m])
+    blk = (jnp.asarray(clean_pad.view(np.int32)) if word
+           else jnp.asarray(clean_pad))
+    zf = jnp.zeros((m_pad, 1), jnp.float32)
+    rng = np.random.default_rng(21)
+    Q = 6
+    Yt = rng.normal(size=(Q, m_pad)).astype(np.float32)
+    Yt[:, m:] = 0.0
+    rank1 = rng.normal(size=(Q, 1)).astype(np.float32)
+    mask = (perm < n).astype(np.float32)[None, :]
+    tot = rng.normal(size=(Q, n_pad)).astype(np.float32)
+    kw = dict(tm=TM, tn=TN, dtype=jnp.float32, interpret=True, clean=True,
+              word=word)
+    for pw in (True, False):
+        got = np.asarray(ytg_acc_matmul(
+            blk, zf, jnp.asarray(Yt), jnp.asarray(rank1),
+            jnp.asarray(mask), jnp.asarray(tot), planewise=pw, **kw))
+        std = np.asarray(ytg_matmul(blk, zf, jnp.asarray(Yt),
+                                    planewise=pw, **kw))
+        expect = tot + (std - rank1) * mask
+        np.testing.assert_array_equal(got, expect)

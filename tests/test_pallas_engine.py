@@ -151,3 +151,24 @@ def test_hybrid_zero_cache_equals_streaming_walk(small_dataset,
     eng_z = mk(cache_blocks=0)
     np.testing.assert_array_equal(eng_z.T_all, eng_full.T_all)
     np.testing.assert_array_equal(eng_z.q_all, eng_full.q_all)
+
+
+def test_float64_pallas_falls_back_from_acc_path(small_dataset):
+    """float64 working dtype must NOT take the aliased-totals fast path
+    (its kernel totals buffer is f32) — round-5 regression: the f64 scan
+    carry tripped a Pallas dtype mismatch in streaming pass 1."""
+    ds = small_dataset
+    data = load_dataset(ds["prefix"], annot_file=ds["annot1_path"],
+                        pheno_file=ds["pheno_path"], num_random_vec=4,
+                        seed=7)
+    cfg = RunConfig(num_random_vec=4, num_jack=4, seed=7, dtype="float64",
+                    mm_mode="exact", use_pallas=True, streaming=True)
+    eng = Engine(data, ModelSpec.build("rhe"), cfg)
+    assert eng.use_pallas and not eng._acc_fast_path()
+    eng.run_precompute_and_assemble()     # standard kernels, no crash
+
+    ref = Engine(data, ModelSpec.build("rhe"),
+                 RunConfig(num_random_vec=4, num_jack=4, seed=7,
+                           dtype="float64"))
+    ref.run_precompute_and_assemble()
+    np.testing.assert_allclose(eng.T_all, ref.T_all, rtol=5e-4, atol=5e-3)
