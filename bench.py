@@ -74,15 +74,16 @@ def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32",
                 kernel_dtype=jnp.bfloat16, clean=True, word=True,
                 tm=tm, tn=tn, mm_split=(mm_mode == "split2"))
 
-        def stats_acc(blk, totk):
+        def stats_acc(blk, totk_list):
             # the engine's keep=False body (Engine._chunk_scan_fn fast
             # path): totals aliased into the stage-2 kernel, no
             # per-block stats in HBM. BENCH_ACC=0 measures the standard
             # materialize+accumulate body for A/B.
             return block_stats_pallas_acc_core(
-                blk, fill, annot_d, P, mask, totk, n_indiv=N, b2=b2,
-                dtype=jnp.float32, kernel_dtype=jnp.bfloat16, clean=True,
-                word=True, tm=tm, tn=tn, mm_split=(mm_mode == "split2"))
+                blk, fill, annot_d, P, None, mask, totk_list, n_indiv=N,
+                components=(("add", None),), b2=b2, dtype=jnp.float32,
+                kernel_dtype=jnp.bfloat16, clean=True, word=True,
+                tm=tm, tn=tn, mm_split=(mm_mode == "split2"))
         N_out = n_pad
     else:
         P = jax.device_put(rng.normal(size=(N, Bp)).astype(np.float32), dev)
@@ -109,10 +110,10 @@ def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32",
         def run(blocks):
             if use_acc:
                 def body(carry, blk):
-                    ntot, yXXy = stats_acc(blk, carry[0])
-                    return (ntot, carry[1] + yXXy), None
+                    ntots, yXXy = stats_acc(blk, carry[0])
+                    return (ntots, carry[1] + yXXy), None
 
-                init = (jnp.zeros((K * b2, N_out), jnp.float32),
+                init = ([jnp.zeros((K * b2, N_out), jnp.float32)],
                         jnp.zeros((K, T), jnp.float32))
             else:
                 def body(carry, blk):
@@ -122,7 +123,9 @@ def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32",
                 init = (jnp.zeros((K, N_out, b2), jnp.float32),
                         jnp.zeros((K, T), jnp.float32))
             (tot, toty), _ = jax.lax.scan(body, init, blocks)
-            return jnp.sum(tot) + jnp.sum(toty)
+            tot_sum = (sum(jnp.sum(t) for t in tot) if use_acc
+                       else jnp.sum(tot))
+            return tot_sum + jnp.sum(toty)
 
         return run, blocks
 

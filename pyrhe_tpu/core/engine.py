@@ -764,14 +764,17 @@ class Engine:
 
     def _acc_fast_path(self) -> bool:
         """keep=False scan bodies can alias the running totals into the
-        stage-2 kernel (ops/moments.block_stats_pallas_acc_core) when the
-        model is single-additive-component (RHE any-K, GENIE G): no
+        stage-2 kernel (ops/moments.block_stats_pallas_acc_core) when
+        every component is additive (RHE any-K, GENIE G / G+GxE /
+        G+GxE+NxE — GxE passes its env column as the kernel's scale
+        operand; NxE rows are analytic and never touch the scan): no
         per-block stats tensor in HBM, no out-of-kernel transform +
-        accumulate traffic. Dominance/GxE components — and float64
-        working dtype (the kernel's aliased totals buffer is f32) — fall
-        back to the standard kernels."""
+        accumulate traffic. Dominance components — and float64 working
+        dtype (the kernel's aliased totals buffer is f32) — fall back to
+        the standard kernels."""
         return (self.use_pallas and self.dtype == jnp.float32
-                and self.spec.components == (("add", None),))
+                and all(kind == "add"
+                        for kind, _ in self.spec.components))
 
     def _acc_stat_kw(self) -> dict:
         """Shared kernel-parameter dict for the aliased fast path — ONE
@@ -808,12 +811,13 @@ class Engine:
 
         if not keep_blocks and self._acc_fast_path():
             acc_kw = self._acc_stat_kw()
-            K = self.K
+            K, comps = self.K, self.spec.components
 
             @jax.jit
             def run(packed_s, fill_s, annot_s, tot_X, tot_y, P, env, mask):
                 carry = acc_scan_stats((packed_s, fill_s, annot_s), P,
-                                       mask, tot_X, tot_y, K=K, **acc_kw)
+                                       env, mask, tot_X, tot_y, K=K,
+                                       components=comps, **acc_kw)
                 return carry, None
 
             self._scan_fns[keep_blocks] = run

@@ -212,18 +212,21 @@ def _ytg_kernel(packed_ref, fill_ref, yt_ref, out_ref, *, dtype, square,
         out_ref[:] += _dots(yt, g, ((1,), (0,)), split, dtype)
 
 
-def _ytg_acc_kernel(packed_ref, fill_ref, yt_ref, rank1_ref, mask_ref,
-                    tot_ref, out_ref, acc_ref, *, dtype, split, clean,
-                    word, planewise):
+def _ytg_acc_kernel(packed_ref, fill_ref, yt_ref, rank1_ref, scale_ref,
+                    mask_ref, tot_ref, out_ref, acc_ref, *, dtype, split,
+                    clean, word, planewise):
     """Stage 2 with the running TOTALS aliased into the kernel: per SNP
     row-tile i the raw y^T g contribution accumulates into a VMEM scratch,
-    and at the LAST i the standardization rank-1 correction + validity
-    mask are applied and the result is added onto the aliased totals tile
-    — so the per-block (Q, N) stats tensor is never materialized in HBM
-    and the out-of-kernel transform-read + accumulate-read/write
-    (~3 x 84 MB per flagship block, docs/design/perf.md 'Remaining gap')
-    disappears. Only valid when nothing downstream needs the per-block
-    stats (the keep=False scan bodies: streaming pass 1 / hybrid tail)."""
+    and at the LAST i the standardization rank-1 correction + the
+    per-individual scale (GxE env column; ones for plain additive —
+    multiplying by exact 1.0 is an IEEE identity, so the additive path
+    stays bitwise equal to a scale-free epilogue) + validity mask are
+    applied and the result is added onto the aliased totals tile — so the
+    per-block (Q, N) stats tensor is never materialized in HBM and the
+    out-of-kernel transform-read + accumulate-read/write (~3 x 84 MB per
+    flagship block, docs/design/perf.md 'Remaining gap') disappears.
+    Only valid when nothing downstream needs the per-block stats (the
+    keep=False scan bodies: streaming pass 1 / hybrid tail)."""
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -250,26 +253,32 @@ def _ytg_acc_kernel(packed_ref, fill_ref, yt_ref, rank1_ref, mask_ref,
         if split:                       # hi/lo halves stacked on rows
             Q = a.shape[0] // 2
             a = a[:Q] + a[Q:]
-        out_ref[:] = tot_ref[:] + (a - rank1_ref[:]) * mask_ref[:]
+        # multiply ORDER matches _moment_algebra's mm2_t branch exactly
+        # (subtract rank1, then scale, then mask) — bit-identity contract
+        out_ref[:] = tot_ref[:] + (((a - rank1_ref[:]) * scale_ref[:])
+                                   * mask_ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=("tm", "tn", "dtype",
                                              "interpret", "clean", "word",
                                              "split", "planewise"))
-def ytg_acc_matmul(packed, fill, Yt, rank1, mask, tot, *, tm=256, tn=512,
-                   dtype=jnp.bfloat16, interpret=False, clean=False,
-                   word=False, split=False, planewise=True):
-    """new_tot = tot + mask ⊙ (Y^T g − rank1), fused + aliased: `tot`
-    ((Q, n_pad) f32, kernel-native stats layout) is donated and updated
-    in place. Yt: (2Q, m_pad) hi/lo-stacked when split else (Q, m_pad);
-    rank1: (Q, 1) f32; mask: (1, n_pad) f32 plane-permuted validity."""
+def ytg_acc_matmul(packed, fill, Yt, rank1, scale, mask, tot, *, tm=256,
+                   tn=512, dtype=jnp.bfloat16, interpret=False,
+                   clean=False, word=False, split=False, planewise=True):
+    """new_tot = tot + mask ⊙ (scale ⊙ (Y^T g − rank1)), fused + aliased:
+    `tot` ((Q, n_pad) f32, kernel-native stats layout) is donated and
+    updated in place. Yt: (2Q, m_pad) hi/lo-stacked when split else
+    (Q, m_pad); rank1: (Q, 1) f32; scale: (1, n_pad) f32 per-individual
+    scaling (GxE env column, or ones); mask: (1, n_pad) f32
+    plane-permuted validity."""
     per_lane = 16 if word else 4
     m_pad, nb_pad = packed.shape
     n_pad = per_lane * nb_pad
     Qr = Yt.shape[0]
     Q = Qr // 2 if split else Qr
     assert m_pad % tm == 0 and n_pad % tn == 0
-    assert rank1.shape == (Q, 1) and mask.shape == (1, n_pad)
+    assert rank1.shape == (Q, 1)
+    assert scale.shape == (1, n_pad) and mask.shape == (1, n_pad)
     assert tot.shape == (Q, n_pad)
     tnb = tn // per_lane
     grid = (n_pad // tn, m_pad // tm)
@@ -288,6 +297,8 @@ def ytg_acc_matmul(packed, fill, Yt, rank1, mask, tot, *, tm=256, tn=512,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tn), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((Q, tn), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
         ],
@@ -295,7 +306,7 @@ def ytg_acc_matmul(packed, fill, Yt, rank1, mask, tot, *, tm=256, tn=512,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Q, n_pad), jnp.float32),
         scratch_shapes=[pltpu.VMEM((Qr, tn), jnp.float32)],
-        input_output_aliases={5: 0},
+        input_output_aliases={6: 0},
         compiler_params=_compiler_params(interpret,
                                          ("parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
@@ -304,7 +315,7 @@ def ytg_acc_matmul(packed, fill, Yt, rank1, mask, tot, *, tm=256, tn=512,
             + 2 * n_pad * Q * 4,
             transcendentals=0),
         interpret=interpret,
-    )(packed, fill, Yt, rank1, mask, tot)
+    )(packed, fill, Yt, rank1, scale, mask, tot)
 
 
 def _compiler_params(interpret, semantics):

@@ -324,10 +324,12 @@ def block_stats_pallas_acc_core(
     fill,           # (m_pad,)
     annot_f,        # (m_pad, K)
     P_perm,         # (n_pad, Bp) plane-permuted probes
+    env_perm,       # (n_pad, num_env) plane-permuted, or None
     valid_mask,     # (n_pad,)
-    tot_kernel,     # (K*b2, n_pad) f32 running totals, KERNEL layout
+    tot_list,       # per-component (K*b2, n_pad) f32 totals, KERNEL layout
     *,
     n_indiv: int,
+    components: tuple,   # all ("add", eidx) — dominance not supported
     b2: int,
     dtype=jnp.float32,
     kernel_dtype=jnp.bfloat16,
@@ -338,29 +340,44 @@ def block_stats_pallas_acc_core(
     tn: int = 512,
     word: bool = False,
 ):
-    """Single-additive-component specialization of block_stats_pallas_core
+    """Additive-components specialization of block_stats_pallas_core
     whose stage 2 ALIASES the running totals into the kernel
     (ops/kernels.ytg_acc_matmul): the per-block (Q, N) stats tensor is
-    never materialized in HBM, folding the out-of-kernel rank-1/mask
-    transform and the totals read-modify-write into the kernel epilogue.
-    Only usable where nothing needs the per-block stats — the keep=False
-    scan bodies (streaming pass 1 / hybrid tail); the engine falls back
-    to block_stats_pallas_core everywhere else (dominance, GxE, cached
-    chunks). Bit-identical to the standard path: identical dot order,
-    identical f32 elementwise transform, identical accumulate order.
+    never materialized in HBM, folding the out-of-kernel
+    rank-1/env-scale/mask transform and the totals read-modify-write
+    into the kernel epilogue — one kernel call per component, each
+    updating its own totals array in place (GxE components pass their
+    env column as the kernel's scale operand). Only usable where nothing
+    needs the per-block stats — the keep=False scan bodies (streaming
+    pass 1 / hybrid tail); the engine falls back to
+    block_stats_pallas_core everywhere else (dominance, cached chunks).
+    Bit-identical to the standard path: identical dot order, identical
+    f32 elementwise transform order (rank1 − → ×scale → ×mask, with
+    ×1.0 an IEEE identity for scale-free components), identical
+    accumulate order.
 
-    Returns (new_tot_kernel (K*b2, n_pad) f32, yXXy (K, T))."""
+    Returns ([per-component new (K*b2, n_pad) f32 totals],
+    yXXy (n_comp*K, T))."""
     from .kernels import gp_matmul, ytg_acc_matmul
 
+    assert all(kind == "add" for kind, _ in components)
     fill2 = fill[:, None].astype(jnp.float32)
     m, K = annot_f.shape
     Bp = P_perm.shape[1]
     split = mm_split and kernel_dtype == jnp.bfloat16
 
     # ---- stage 1 + standardization algebra (mirrors _moment_algebra's
-    # single-add branch, ops/moments.py:107-170) ----
-    C_all = jnp.concatenate(
-        [valid_mask[:, None].astype(dtype), P_perm], axis=1)
+    # additive branches, ops/moments.py:107-170) ----
+    variants = []
+    for _, eidx in components:
+        if eidx not in variants:
+            variants.append(eidx)
+    cols = [valid_mask[:, None].astype(dtype)]
+    for v in variants:
+        cols.append(P_perm if v is None
+                    else P_perm * env_perm[:, v][:, None].astype(
+                        P_perm.dtype))
+    C_all = jnp.concatenate(cols, axis=1)          # (n_pad, 1 + Bp*V)
     csum = _colsum(C_all)
     C32 = C_all.astype(jnp.float32)
     if split:
@@ -377,46 +394,64 @@ def block_stats_pallas_acc_core(
     var_add = mean * (1.0 - 0.5 * mean)
     d_add = jnp.where(var_add > 0,
                       jax.lax.rsqrt(jnp.maximum(var_add, 1e-30)), 0.0)
-    GPr, s_r = GP[:, 1:], csum[1:]
-    U = d_add[:, None] * (GPr - mean[:, None] * s_r[None, :])
-    Uy = U[:, b2:]
-    yXXy = jnp.sum((Uy * Uy)[:, None, :] * annot_f[:, :, None], axis=0)
-    W = (U[:, None, :b2] * annot_f[:, :, None]).reshape(m, K * b2)
-    Yg = d_add[:, None] * W
-    rank1 = jnp.sum(mean[:, None] * Yg, axis=0)          # (K*b2,)
 
-    Yt = Yg.astype(jnp.float32).T                        # (Q, m)
-    Yt = _hilo(Yt, 0) if split else Yt.astype(kernel_dtype)
-    # same auto planewise rule as block_stats_pallas_core.run2 — the
-    # dot blocking must match the standard path's bitwise
-    pw = Yt.shape[0] < 64
-    new_tot = ytg_acc_matmul(
-        packed, fill2, Yt, rank1[:, None].astype(jnp.float32),
-        valid_mask[None, :].astype(jnp.float32), tot_kernel,
-        tm=tm, tn=tn, dtype=kernel_dtype, interpret=interpret,
-        clean=clean, word=word, split=split, planewise=pw)
-    return new_tot, yXXy.astype(dtype)
+    ones_n = jnp.ones((1, P_perm.shape[0]), jnp.float32)
+    mask_row = valid_mask[None, :].astype(jnp.float32)
+    new_tots, ys = [], []
+    for c, (_, eidx) in enumerate(components):
+        v = variants.index(eidx)
+        sl = slice(1 + v * Bp, 1 + (v + 1) * Bp)
+        U = d_add[:, None] * (GP[:, sl] - mean[:, None] * csum[sl][None, :])
+        Uy = U[:, b2:]
+        ys.append(jnp.sum((Uy * Uy)[:, None, :] * annot_f[:, :, None],
+                          axis=0))
+        W = (U[:, None, :b2] * annot_f[:, :, None]).reshape(m, K * b2)
+        Yg = d_add[:, None] * W
+        rank1 = jnp.sum(mean[:, None] * Yg, axis=0)      # (K*b2,)
+
+        Yt = Yg.astype(jnp.float32).T                    # (Q, m)
+        Yt = _hilo(Yt, 0) if split else Yt.astype(kernel_dtype)
+        # planewise rule must reproduce the STANDARD path's decision,
+        # which sees ALL components stacked in one operand (run2's
+        # rows = n_comp*K*b2*(2 if split)); output rows of a dot are
+        # independent, so per-component calls under the same blocking
+        # stay bitwise equal to the stacked call
+        pw = len(components) * Yt.shape[0] < 64
+        scale = (ones_n if eidx is None
+                 else env_perm[:, eidx][None, :].astype(jnp.float32))
+        new_tots.append(ytg_acc_matmul(
+            packed, fill2, Yt, rank1[:, None].astype(jnp.float32),
+            scale, mask_row, tot_list[c],
+            tm=tm, tn=tn, dtype=kernel_dtype, interpret=interpret,
+            clean=clean, word=word, split=split, planewise=pw))
+    return new_tots, jnp.concatenate(ys, axis=0).astype(dtype)
 
 
-def acc_scan_stats(chunk_arrays, P, mask, totX, toty, *, K, **acc_kw):
+def acc_scan_stats(chunk_arrays, P, env, mask, totX, toty, *, K,
+                   components, **acc_kw):
     """lax.scan over stacked (packed, fill, annot) blocks through the
     ALIASED stage-2 kernel: totals enter/leave in engine layout
-    (K, N, b2) but ride the carry in kernel layout (K*b2, N), updated in
-    place per block. Shared by Engine._chunk_scan_fn and
-    ShardedRunner._scan_stats so their bit-identity cannot drift."""
+    (n_comp*K, N, b2) but ride the carry as per-component (K*b2, N)
+    kernel-layout arrays, each updated in place per block. Shared by
+    Engine._chunk_scan_fn and ShardedRunner._scan_stats so their
+    bit-identity cannot drift."""
     b2 = acc_kw["b2"]
-    totk = totX.transpose(0, 2, 1).reshape(K * b2, -1)
+    n_comp = len(components)
+    tots = [totX[c * K:(c + 1) * K].transpose(0, 2, 1).reshape(K * b2, -1)
+            for c in range(n_comp)]
 
     def body(carry, xs):
         p, f, a = xs
-        tk, ty = carry
-        ntot, yXXy = block_stats_pallas_acc_core(p, f, a, P, mask, tk,
-                                                 **acc_kw)
-        return (ntot, ty + yXXy), None
+        tks, ty = carry
+        ntots, yXXy = block_stats_pallas_acc_core(
+            p, f, a, P, env, mask, tks, components=components, **acc_kw)
+        return (ntots, ty + yXXy), None
 
-    (totk, toty), _ = jax.lax.scan(body, (totk, toty), chunk_arrays)
-    N = totk.shape[1]
-    return totk.reshape(K, b2, N).transpose(0, 2, 1), toty
+    (tots, toty), _ = jax.lax.scan(body, (tots, toty), chunk_arrays)
+    N = tots[0].shape[1]
+    totX = jnp.concatenate(
+        [t.reshape(K, b2, N).transpose(0, 2, 1) for t in tots], axis=0)
+    return totX, toty
 
 
 def nxe_stats(env, Z, Uzb, Y, b2, B, dtype=jnp.float32):

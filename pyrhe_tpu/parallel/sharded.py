@@ -389,8 +389,10 @@ class ShardedRunner:
             # parameter dict — bit-identity by construction)
             from ..ops.moments import acc_scan_stats
 
-            carry = acc_scan_stats(chunk, P_mat, mask, totX, toty,
-                                   K=eng.K, **eng._acc_stat_kw())
+            carry = acc_scan_stats(chunk, P_mat, env, mask, totX, toty,
+                                   K=eng.K,
+                                   components=eng.spec.components,
+                                   **eng._acc_stat_kw())
             return carry, None
 
         def body(carry, xs):

@@ -252,13 +252,17 @@ def test_ytg_acc_matmul(word):
     rank1 = rng.normal(size=(Q, 1)).astype(np.float32)
     mask = (perm < n).astype(np.float32)[None, :]
     tot = rng.normal(size=(Q, n_pad)).astype(np.float32)
+    ones = np.ones((1, n_pad), np.float32)
+    env_scale = rng.normal(size=(1, n_pad)).astype(np.float32)
     kw = dict(tm=TM, tn=TN, dtype=jnp.float32, interpret=True, clean=True,
               word=word)
     for pw in (True, False):
-        got = np.asarray(ytg_acc_matmul(
-            blk, zf, jnp.asarray(Yt), jnp.asarray(rank1),
-            jnp.asarray(mask), jnp.asarray(tot), planewise=pw, **kw))
-        std = np.asarray(ytg_matmul(blk, zf, jnp.asarray(Yt),
-                                    planewise=pw, **kw))
-        expect = tot + (std - rank1) * mask
-        np.testing.assert_array_equal(got, expect)
+        for scale in (ones, env_scale):      # additive and GxE epilogues
+            got = np.asarray(ytg_acc_matmul(
+                blk, zf, jnp.asarray(Yt), jnp.asarray(rank1),
+                jnp.asarray(scale), jnp.asarray(mask), jnp.asarray(tot),
+                planewise=pw, **kw))
+            std = np.asarray(ytg_matmul(blk, zf, jnp.asarray(Yt),
+                                        planewise=pw, **kw))
+            expect = tot + ((std - rank1) * scale) * mask
+            np.testing.assert_array_equal(got, expect)

@@ -172,3 +172,34 @@ def test_float64_pallas_falls_back_from_acc_path(small_dataset):
                            dtype="float64"))
     ref.run_precompute_and_assemble()
     np.testing.assert_allclose(eng.T_all, ref.T_all, rtol=5e-4, atol=5e-3)
+
+
+def test_genie_gxe_acc_streaming_matches_cached(small_dataset,
+                                                monkeypatch):
+    """GENIE G+GxE+NxE under Pallas: the streaming pass takes the
+    aliased-totals fast path with the env column as the kernel's scale
+    operand — must stay BIT-identical to the cached run (standard
+    materializing kernels)."""
+    from pyrhe_tpu.core.engine import Engine as Eng
+
+    monkeypatch.setattr(Eng, "_chunk_size", lambda self: 2)
+    ds = small_dataset
+
+    def mk(streaming):
+        data = load_dataset(ds["prefix"], annot_file=ds["annot8_path"],
+                            pheno_file=ds["pheno_path"],
+                            env_file=ds["env_path"],
+                            num_random_vec=4, seed=7)
+        spec = ModelSpec.build("genie", "G+GxE+NxE", data.num_env)
+        cfg = RunConfig(num_random_vec=4, num_jack=4, seed=7,
+                        dtype="float32", mm_mode="exact",
+                        use_pallas=True, streaming=streaming)
+        eng = Engine(data, spec, cfg)
+        eng.run_precompute_and_assemble()
+        return eng
+
+    eng_c = mk(False)
+    assert eng_c._acc_fast_path(), "all-add GENIE must qualify"
+    eng_s = mk(True)
+    np.testing.assert_array_equal(eng_s.T_all, eng_c.T_all)
+    np.testing.assert_array_equal(eng_s.q_all, eng_c.q_all)
