@@ -134,7 +134,11 @@ def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32",
         run, blocks = make_scan(nblk)
         float(run(blocks))  # warmup/compile + sync
         best = float("inf")
-        for _ in range(5):
+        # 7 reps (was 5): tunnel-congestion windows can poison several
+        # consecutive reps; the narrow config's repeat spread measured
+        # 6.8-18.4 TF/s at 5 reps (perf.md round-5 session) — more reps
+        # make a clean best far more likely
+        for _ in range(7):
             t0 = time.perf_counter()
             s = float(run(blocks))   # host pull = true sync
             best = min(best, time.perf_counter() - t0)

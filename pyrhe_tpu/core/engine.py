@@ -797,10 +797,12 @@ class Engine:
         streaming assemble pass reuses the precompute pass's jit closure
         (and its compilation cache entries).
 
-        keep_blocks=False + single-add-component takes the ALIASED
-        fast path: totals ride the scan carry in kernel-native (K*b2, N)
-        layout and each block's stage-2 kernel updates them in place
-        (bit-identical numerics; layout converted at the scan boundary)."""
+        keep_blocks=False + all-additive components (RHE any-K, GENIE
+        G/G+GxE/G+GxE+NxE — see _acc_fast_path) takes the ALIASED fast
+        path: totals ride the scan carry as per-component kernel-layout
+        (K*b2, N) arrays and each block's stage-2 kernel updates them in
+        place (bit-identical numerics; layout converted at the scan
+        boundary)."""
         cached = self._scan_fns.get(keep_blocks)
         if cached is not None:
             return cached

@@ -356,6 +356,15 @@ def block_stats_pallas_acc_core(
     ×1.0 an IEEE identity for scale-free components), identical
     accumulate order.
 
+    One kernel call per component means stage 2 re-reads + re-decodes
+    the packed bytes once per component. That extra pass is the packed
+    bytes (m*N/4) vs the ~3 f32 stats passes (12 m*N-equivalent bytes)
+    the fold removes — a clear net win at small component counts, eroding
+    linearly for many-env GENIE runs. The stacked single-call alternative
+    (per-row-group scale apply) would keep one decode but multiplies the
+    (Qr, tn) VMEM accumulator by n_comp — rejected for VMEM headroom at
+    the wide production shape.
+
     Returns ([per-component new (K*b2, n_pad) f32 totals],
     yXXy (n_comp*K, T))."""
     from .kernels import gp_matmul, ytg_acc_matmul
@@ -434,7 +443,14 @@ def acc_scan_stats(chunk_arrays, P, env, mask, totX, toty, *, K,
     (n_comp*K, N, b2) but ride the carry as per-component (K*b2, N)
     kernel-layout arrays, each updated in place per block. Shared by
     Engine._chunk_scan_fn and ShardedRunner._scan_stats so their
-    bit-identity cannot drift."""
+    bit-identity cannot drift.
+
+    The layout repack at entry/exit costs one transient copy of the
+    totals slab per CHUNK dispatch (amortized over the ~dozens of blocks
+    a chunk scans — ≲0.1% of the chunk's compute; it does mean the
+    engine-layout input buffer is not donatable for that dispatch).
+    Within the scan, each block's kernel call updates its carry buffer
+    in place."""
     b2 = acc_kw["b2"]
     n_comp = len(components)
     tots = [totX[c * K:(c + 1) * K].transpose(0, 2, 1).reshape(K * b2, -1)

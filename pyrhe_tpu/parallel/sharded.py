@@ -434,11 +434,17 @@ class ShardedRunner:
                     return tX[None], ty[None]
                 return tX[None], ty[None], ys
 
+            # the aliased fast path repacks totals between engine and
+            # kernel layouts inside the dispatch, so the engine-layout
+            # carry buffers cannot be donated there (XLA would warn);
+            # the kernel itself reuses its own buffers via aliasing
+            donate = (() if (not keep and eng._acc_fast_path())
+                      else (3, 4))
             return jax.jit(smap(
                 stats_body,
                 in_specs=(blk, blk, blk, blk, blk, repl, repl, repl),
                 out_specs=(blk, blk, blk) if keep else (blk, blk)),
-                donate_argnums=(3, 4))
+                donate_argnums=donate)
 
         def asm_tail(bX, by, M_rows, totX, toty, nxeX, nxey, Z, Uzb, C_mat,
                      Q, q_last, stoch):

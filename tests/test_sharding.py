@@ -146,14 +146,18 @@ def test_sharded_pallas_interpret(small_dataset):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("model,genie_model,env", [
+    ("rhe", "G", False),
+    ("genie", "G+GxE+NxE", True),     # env column as the kernel's scale
+])
 def test_sharded_pallas_streaming_acc_matches_cached(small_dataset,
-                                                     monkeypatch):
+                                                     monkeypatch, model,
+                                                     genie_model, env):
     """Sharded streaming under Pallas takes the aliased-totals fast path
-    (ShardedRunner._scan_stats keep=False); it must stay BIT-identical
-    to the fully-cached sharded run, whose pass 1 uses the standard
+    (ShardedRunner._scan_stats keep=False) — including the GxE env
+    plumbing through shard_map; it must stay BIT-identical to the
+    fully-cached sharded run, whose pass 1 uses the standard
     materializing kernels."""
-    import jax.numpy as jnp
-
     from pyrhe_tpu.core.data import load_dataset
     from pyrhe_tpu.core.engine import Engine, ModelSpec, RunConfig
 
@@ -162,12 +166,14 @@ def test_sharded_pallas_streaming_acc_matches_cached(small_dataset,
     def mk(streaming):
         data = load_dataset(ds["prefix"], annot_file=ds["annot8_path"],
                             pheno_file=ds["pheno_path"],
+                            env_file=ds["env_path"] if env else None,
                             num_random_vec=4, seed=7)
         cfg = RunConfig(num_random_vec=4, num_jack=4, seed=7,
                         geno_impute_method="binary", dtype="float32",
                         mm_mode="exact", use_pallas=True,
                         streaming=streaming)
-        return Engine(data, ModelSpec.build("rhe"), cfg)
+        return Engine(data, ModelSpec.build(model, genie_model,
+                                            data.num_env), cfg)
 
     eng_c = mk(False)
     assert eng_c.use_pallas and eng_c._acc_fast_path()
