@@ -30,7 +30,7 @@ import numpy as np
 
 
 def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32",
-               impl="jnp", use_cov=False):
+               impl="jnp", use_cov=False, num_env=0):
     import jax
     import jax.numpy as jnp
 
@@ -39,6 +39,8 @@ def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32",
     T = 1
     b2 = B * (2 if use_cov else 1)   # covariates double the probe block
     Bp = b2 + T
+    components = (("add", None),) + tuple(
+        ("add", e) for e in range(num_env))   # GENIE G+GxE shape
     rng = np.random.default_rng(0)
     dev = jax.devices()[0]
 
@@ -60,6 +62,11 @@ def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32",
         P_nat[:N] = rng.normal(size=(N, Bp))
         P = jax.device_put(P_nat[perm], dev)
         mask = jax.device_put((perm < N).astype(np.float32), dev)
+        env_d = None
+        if num_env:
+            env_nat = np.zeros((n_pad, num_env), np.float32)
+            env_nat[:N] = rng.normal(size=(N, num_env))
+            env_d = jax.device_put(env_nat[perm], dev)
         assert m % tm == 0
         nb = n_pad // 4
 
@@ -69,8 +76,8 @@ def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32",
             # and staged as int32 words — exactly as engine._load_block
             # does on the production path
             return block_stats_pallas_core(
-                blk, fill, annot_d, P, None, mask, n_indiv=N,
-                components=(("add", None),), b2=b2, dtype=jnp.float32,
+                blk, fill, annot_d, P, env_d, mask, n_indiv=N,
+                components=components, b2=b2, dtype=jnp.float32,
                 kernel_dtype=jnp.bfloat16, clean=True, word=True,
                 tm=tm, tn=tn, mm_split=(mm_mode == "split2"))
 
@@ -80,19 +87,22 @@ def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32",
             # per-block stats in HBM. BENCH_ACC=0 measures the standard
             # materialize+accumulate body for A/B.
             return block_stats_pallas_acc_core(
-                blk, fill, annot_d, P, None, mask, totk_list, n_indiv=N,
-                components=(("add", None),), b2=b2, dtype=jnp.float32,
+                blk, fill, annot_d, P, env_d, mask, totk_list, n_indiv=N,
+                components=components, b2=b2, dtype=jnp.float32,
                 kernel_dtype=jnp.bfloat16, clean=True, word=True,
                 tm=tm, tn=tn, mm_split=(mm_mode == "split2"))
         N_out = n_pad
     else:
         P = jax.device_put(rng.normal(size=(N, Bp)).astype(np.float32), dev)
+        env_j = (jax.device_put(
+            rng.normal(size=(N, num_env)).astype(np.float32), dev)
+            if num_env else None)
         nb = (N + 3) // 4
 
         def stats(blk):
             return block_stats_core(
-                blk, fill, annot_d, P, None, n_indiv=N,
-                components=(("add", None),), b2=b2, packed=True,
+                blk, fill, annot_d, P, env_j, n_indiv=N,
+                components=components, b2=b2, packed=True,
                 dtype=jnp.float32, mm_mode=mm_mode)
         N_out = N
 
@@ -108,20 +118,22 @@ def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32",
 
         @jax.jit
         def run(blocks):
+            E = len(components) * K
             if use_acc:
                 def body(carry, blk):
                     ntots, yXXy = stats_acc(blk, carry[0])
                     return (ntots, carry[1] + yXXy), None
 
-                init = ([jnp.zeros((K * b2, N_out), jnp.float32)],
-                        jnp.zeros((K, T), jnp.float32))
+                init = ([jnp.zeros((K * b2, N_out), jnp.float32)
+                         for _ in components],
+                        jnp.zeros((E, T), jnp.float32))
             else:
                 def body(carry, blk):
                     XXP, yXXy, _ = stats(blk)
                     return (carry[0] + XXP, carry[1] + yXXy), None
 
-                init = (jnp.zeros((K, N_out, b2), jnp.float32),
-                        jnp.zeros((K, T), jnp.float32))
+                init = (jnp.zeros((E, N_out, b2), jnp.float32),
+                        jnp.zeros((E, T), jnp.float32))
             (tot, toty), _ = jax.lax.scan(body, init, blocks)
             tot_sum = (sum(jnp.sum(t) for t in tot) if use_acc
                        else jnp.sum(tot))
@@ -152,7 +164,10 @@ def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32",
         # long scan's average rate — conservative (includes dispatch
         # latency) but always positive, which the driver contract requires.
         marginal = times[n_blocks_long] / n_blocks_long
-    flops_per_block = 2.0 * N * m * (Bp + K * b2)
+    # stage 1: Bp probe columns per env VARIANT; stage 2: K*b2 per
+    # component (ones/mask column excluded, as before)
+    V = 1 + num_env
+    flops_per_block = 2.0 * N * m * (Bp * V + len(components) * K * b2)
     return flops_per_block / marginal / 1e9
 
 
@@ -170,11 +185,17 @@ def main():
     K = int(os.environ.get("BENCH_K", 1))
     B = int(os.environ.get("BENCH_B", 10))
     cov = os.environ.get("BENCH_COV", "0") == "1"
+    # BENCH_ENV=E adds E GxE components (GENIE G+GxE shape): stage 1
+    # gains E env-scaled probe variants, stage 2 one aliased kernel call
+    # per component (docs/design/perf.md round-5 GxE note)
+    num_env = int(os.environ.get("BENCH_ENV", 0))
     if on_tpu:
         args, blocks = (131072, 2048), (8, 32)
     else:
         args, blocks = (8192, 512), (2, 6)
-    gflops = bench_scan(*args, K, B, *blocks, mode, impl, cov)
+    if os.environ.get("BENCH_M"):      # block-size override (SNP rows)
+        args = (args[0], int(os.environ["BENCH_M"]))
+    gflops = bench_scan(*args, K, B, *blocks, mode, impl, cov, num_env)
 
     # Second measured shape: the wide production config (8 annotation
     # bins + covariates -> stage-2 width K*b2 = 160). The K=1,B=10
@@ -190,7 +211,9 @@ def main():
     wide_cfg = {"K": 8, "B": B, "cov": True}
     wide_m = 5120 if on_tpu else args[1]
     wide_blocks = (4, 16) if on_tpu else blocks   # 167 MB/block at m=5120
-    wide_gflops = (gflops if (K, cov) == (8, True) and args[1] == wide_m
+    wide_gflops = (gflops
+                   if (K, cov, num_env) == (8, True, 0)
+                   and args[1] == wide_m
                    else bench_scan(args[0], wide_m, wide_cfg["K"],
                                    wide_cfg["B"], *wide_blocks, mode, impl,
                                    wide_cfg["cov"]))
