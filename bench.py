@@ -30,7 +30,7 @@ import numpy as np
 
 
 def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32",
-               impl="jnp", use_cov=False, num_env=0):
+               impl="jnp", use_cov=False, num_env=0, dom=False):
     import jax
     import jax.numpy as jnp
 
@@ -41,6 +41,8 @@ def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32",
     Bp = b2 + T
     components = (("add", None),) + tuple(
         ("add", e) for e in range(num_env))   # GENIE G+GxE shape
+    if dom:
+        components += (("dom", None),)       # RHE-DOM shape
     rng = np.random.default_rng(0)
     dev = jax.devices()[0]
 
@@ -164,10 +166,15 @@ def bench_scan(N, m, K, B, n_blocks_short, n_blocks_long, dtype_mode="float32",
         # long scan's average rate — conservative (includes dispatch
         # latency) but always positive, which the driver contract requires.
         marginal = times[n_blocks_long] / n_blocks_long
-    # stage 1: Bp probe columns per env VARIANT; stage 2: K*b2 per
-    # component (ones/mask column excluded, as before)
+    # stage 1: Bp probe columns per env VARIANT (doubled when dominance
+    # needs the g² pass); stage 2: K*b2 per component, doubled for each
+    # dominance component (its stats are a g plus a g² contraction) —
+    # useful flops only, ones/mask column excluded as before
     V = 1 + num_env
-    flops_per_block = 2.0 * N * m * (Bp * V + len(components) * K * b2)
+    n_dom = sum(1 for kind, _ in components if kind == "dom")
+    s2_widths = len(components) * K * b2 + n_dom * K * b2
+    flops_per_block = 2.0 * N * m * (Bp * V * (2 if n_dom else 1)
+                                     + s2_widths)
     return flops_per_block / marginal / 1e9
 
 
@@ -189,13 +196,18 @@ def main():
     # gains E env-scaled probe variants, stage 2 one aliased kernel call
     # per component (docs/design/perf.md round-5 GxE note)
     num_env = int(os.environ.get("BENCH_ENV", 0))
+    # BENCH_DOM=1 adds a dominance component (RHE-DOM shape): stage 1
+    # doubles (g² pass), the dom component's stage 2 runs both
+    # contractions (ytg_acc2_matmul on the aliased path)
+    dom = os.environ.get("BENCH_DOM", "0") == "1"
     if on_tpu:
         args, blocks = (131072, 2048), (8, 32)
     else:
         args, blocks = (8192, 512), (2, 6)
     if os.environ.get("BENCH_M"):      # block-size override (SNP rows)
         args = (args[0], int(os.environ["BENCH_M"]))
-    gflops = bench_scan(*args, K, B, *blocks, mode, impl, cov, num_env)
+    gflops = bench_scan(*args, K, B, *blocks, mode, impl, cov, num_env,
+                        dom)
 
     # Second measured shape: the wide production config (8 annotation
     # bins + covariates -> stage-2 width K*b2 = 160). The K=1,B=10
@@ -212,7 +224,7 @@ def main():
     wide_m = 5120 if on_tpu else args[1]
     wide_blocks = (4, 16) if on_tpu else blocks   # 167 MB/block at m=5120
     wide_gflops = (gflops
-                   if (K, cov, num_env) == (8, True, 0)
+                   if (K, cov, num_env, dom) == (8, True, 0, False)
                    and args[1] == wide_m
                    else bench_scan(args[0], wide_m, wide_cfg["K"],
                                    wide_cfg["B"], *wide_blocks, mode, impl,
@@ -230,7 +242,9 @@ def main():
         "unit": "GFLOP/s",
         "vs_baseline": round(gflops / baseline_gflops, 2),
         "mfu_pct": mfu(gflops),
-        "config": {"K": K, "B": B, "cov": cov, "impl": impl, "dtype": mode},
+        "config": {"K": K, "B": B, "cov": cov, "impl": impl, "dtype": mode,
+                   **({"env": num_env} if num_env else {}),
+                   **({"dom": True} if dom else {})},
         "wide": {"value": round(wide_gflops, 2),
                  "vs_baseline": round(wide_gflops / baseline_gflops, 2),
                  "mfu_pct": mfu(wide_gflops),

@@ -764,17 +764,17 @@ class Engine:
 
     def _acc_fast_path(self) -> bool:
         """keep=False scan bodies can alias the running totals into the
-        stage-2 kernel (ops/moments.block_stats_pallas_acc_core) when
-        every component is additive (RHE any-K, GENIE G / G+GxE /
-        G+GxE+NxE — GxE passes its env column as the kernel's scale
-        operand; NxE rows are analytic and never touch the scan): no
-        per-block stats tensor in HBM, no out-of-kernel transform +
-        accumulate traffic. Dominance components — and float64 working
-        dtype (the kernel's aliased totals buffer is f32) — fall back to
-        the standard kernels."""
-        return (self.use_pallas and self.dtype == jnp.float32
-                and all(kind == "add"
-                        for kind, _ in self.spec.components))
+        stage-2 kernels (ops/moments.block_stats_pallas_acc_core) for
+        every model family: additive components ride ytg_acc_matmul
+        (RHE any-K, GENIE G / G+GxE / G+GxE+NxE — GxE passes its env
+        column as the kernel's scale operand; NxE rows are analytic and
+        never touch the scan) and dominance components ride
+        ytg_acc2_matmul (RHE-DOM — the g and g² contractions share one
+        packed-tile read): no per-block stats tensor in HBM, no
+        out-of-kernel transform + accumulate traffic. float64 working
+        dtype falls back to the standard kernels (the aliased totals
+        buffer is f32)."""
+        return self.use_pallas and self.dtype == jnp.float32
 
     def _acc_stat_kw(self) -> dict:
         """Shared kernel-parameter dict for the aliased fast path — ONE
@@ -797,8 +797,8 @@ class Engine:
         streaming assemble pass reuses the precompute pass's jit closure
         (and its compilation cache entries).
 
-        keep_blocks=False + all-additive components (RHE any-K, GENIE
-        G/G+GxE/G+GxE+NxE — see _acc_fast_path) takes the ALIASED fast
+        keep_blocks=False + float32 (any model family — see
+        _acc_fast_path) takes the ALIASED fast
         path: totals ride the scan carry as per-component kernel-layout
         (K*b2, N) arrays and each block's stage-2 kernel updates them in
         place (bit-identical numerics; layout converted at the scan

@@ -259,6 +259,122 @@ def _ytg_acc_kernel(packed_ref, fill_ref, yt_ref, rank1_ref, scale_ref,
                                    * mask_ref[:])
 
 
+def _ytg_acc2_kernel(packed_ref, fill_ref, yt1_ref, yt2_ref, rank1_ref,
+                     mask_ref, tot_ref, out_ref, acc1_ref, acc2_ref, *,
+                     dtype, split, clean, word, planewise, planewise2):
+    """Dominance variant of _ytg_acc_kernel: a dominance component's stats
+    are y1^T g + y2^T g^2 (the encoding is affine in (g, g^2) —
+    ops/moments.py module docstring), so TWO contractions accumulate into
+    separate VMEM scratches — separate so each matches the standard
+    path's per-call accumulation order bitwise — over the SAME decoded
+    tile (the standard path's two ytg_matmul calls each re-read the
+    packed bytes from HBM; here the tile is read once and the square
+    variant is re-extracted from the already-SWAR-decoded fields, ~1 VPU
+    op per plane). Epilogue applies the rank-1 correction + validity mask
+    in the standard path's exact order ((A + B) - rank1, then mask; the
+    reference dominance path has no env scaling) and adds onto the
+    aliased totals. Each contraction keeps its own planewise flag so it
+    reproduces the standard path's per-call blocking decision (the g dot
+    rides the all-components stacked operand, the g^2 dot only the
+    dominance columns)."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        acc1_ref[:] = jnp.zeros_like(acc1_ref)
+        acc2_ref[:] = jnp.zeros_like(acc2_ref)
+
+    tnb = packed_ref.shape[1]
+
+    def contract(acc_ref, yt, square, pw):
+        planes = _plane_iter(packed_ref, fill_ref, dtype, square, clean,
+                             word)
+        if pw:
+            for p, g in enumerate(planes):
+                acc_ref[:, p * tnb:(p + 1) * tnb] += _dots(
+                    yt, g, ((1,), (0,)), False, dtype)
+        else:
+            g = jnp.concatenate(list(planes), axis=1)
+            acc_ref[:] += _dots(yt, g, ((1,), (0,)), False, dtype)
+
+    contract(acc1_ref, yt1_ref[:], False, planewise)
+    contract(acc2_ref, yt2_ref[:], True, planewise2)
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _():
+        a1, a2 = acc1_ref[:], acc2_ref[:]
+        if split:
+            Q = a1.shape[0] // 2
+            a1 = a1[:Q] + a1[Q:]
+            a2 = a2[:Q] + a2[Q:]
+        # order matches _moment_algebra's mm2_t dominance branch exactly:
+        # part = XXG + XXG2, minus rank1, times mask (no scale)
+        out_ref[:] = tot_ref[:] + (((a1 + a2) - rank1_ref[:])
+                                   * mask_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tn", "dtype",
+                                             "interpret", "clean", "word",
+                                             "split", "planewise",
+                                             "planewise2"))
+def ytg_acc2_matmul(packed, fill, Yt1, Yt2, rank1, mask, tot, *, tm=256,
+                    tn=512, dtype=jnp.bfloat16, interpret=False,
+                    clean=False, word=False, split=False, planewise=True,
+                    planewise2=True):
+    """new_tot = tot + mask ⊙ (Y1^T g + Y2^T g² − rank1), fused + aliased —
+    the dominance-component counterpart of ytg_acc_matmul. `tot`
+    ((Q, n_pad) f32) is donated and updated in place. Yt1/Yt2:
+    (2Q, m_pad) hi/lo-stacked when split else (Q, m_pad); rank1: (Q, 1)
+    f32; mask: (1, n_pad) f32 plane-permuted validity."""
+    per_lane = 16 if word else 4
+    m_pad, nb_pad = packed.shape
+    n_pad = per_lane * nb_pad
+    Qr = Yt1.shape[0]
+    Q = Qr // 2 if split else Qr
+    assert m_pad % tm == 0 and n_pad % tn == 0
+    assert Yt2.shape == Yt1.shape
+    assert rank1.shape == (Q, 1) and mask.shape == (1, n_pad)
+    assert tot.shape == (Q, n_pad)
+    tnb = tn // per_lane
+    grid = (n_pad // tn, m_pad // tm)
+    return pl.pallas_call(
+        functools.partial(_ytg_acc2_kernel, dtype=dtype, split=split,
+                          clean=clean, word=word, planewise=planewise,
+                          planewise2=planewise2),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tnb), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Qr, tm), lambda j, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Qr, tm), lambda j, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, 1), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, tn), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Q, tn), lambda j, i: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Q, n_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Qr, tn), jnp.float32),
+                        pltpu.VMEM((Qr, tn), jnp.float32)],
+        input_output_aliases={6: 0},
+        compiler_params=_compiler_params(interpret,
+                                         ("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m_pad * n_pad * Qr,
+            bytes_accessed=m_pad * n_pad // 4 + 2 * m_pad * Qr * 4
+            + 2 * n_pad * Q * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(packed, fill, Yt1, Yt2, rank1, mask, tot)
+
+
 @functools.partial(jax.jit, static_argnames=("tm", "tn", "dtype",
                                              "interpret", "clean", "word",
                                              "split", "planewise"))

@@ -329,7 +329,7 @@ def block_stats_pallas_acc_core(
     tot_list,       # per-component (K*b2, n_pad) f32 totals, KERNEL layout
     *,
     n_indiv: int,
-    components: tuple,   # all ("add", eidx) — dominance not supported
+    components: tuple,   # ("add"|"dom", eidx) — dom via ytg_acc2_matmul
     b2: int,
     dtype=jnp.float32,
     kernel_dtype=jnp.bfloat16,
@@ -340,21 +340,23 @@ def block_stats_pallas_acc_core(
     tn: int = 512,
     word: bool = False,
 ):
-    """Additive-components specialization of block_stats_pallas_core
-    whose stage 2 ALIASES the running totals into the kernel
-    (ops/kernels.ytg_acc_matmul): the per-block (Q, N) stats tensor is
-    never materialized in HBM, folding the out-of-kernel
+    """Specialization of block_stats_pallas_core whose stage 2 ALIASES
+    the running totals into the kernel (ops/kernels.ytg_acc_matmul;
+    ytg_acc2_matmul for dominance components, whose stats need a second
+    g² contraction): the per-block (Q, N) stats tensor is never
+    materialized in HBM, folding the out-of-kernel
     rank-1/env-scale/mask transform and the totals read-modify-write
     into the kernel epilogue — one kernel call per component, each
     updating its own totals array in place (GxE components pass their
     env column as the kernel's scale operand). Only usable where nothing
     needs the per-block stats — the keep=False scan bodies (streaming
     pass 1 / hybrid tail); the engine falls back to
-    block_stats_pallas_core everywhere else (dominance, cached chunks).
+    block_stats_pallas_core everywhere else (cached chunks, float64).
     Bit-identical to the standard path: identical dot order, identical
     f32 elementwise transform order (rank1 − → ×scale → ×mask, with
-    ×1.0 an IEEE identity for scale-free components), identical
-    accumulate order.
+    ×1.0 an IEEE identity for scale-free components; dominance skips
+    the scale exactly as _moment_algebra does), identical accumulate
+    order.
 
     One kernel call per component means stage 2 re-reads + re-decodes
     the packed bytes once per component. That extra pass is the packed
@@ -367,16 +369,17 @@ def block_stats_pallas_acc_core(
 
     Returns ([per-component new (K*b2, n_pad) f32 totals],
     yXXy (n_comp*K, T))."""
-    from .kernels import gp_matmul, ytg_acc_matmul
+    from .kernels import gp_matmul, ytg_acc2_matmul, ytg_acc_matmul
 
-    assert all(kind == "add" for kind, _ in components)
     fill2 = fill[:, None].astype(jnp.float32)
     m, K = annot_f.shape
     Bp = P_perm.shape[1]
     split = mm_split and kernel_dtype == jnp.bfloat16
+    need_dom = any(kind == "dom" for kind, _ in components)
+    n_dom = sum(1 for kind, _ in components if kind == "dom")
 
     # ---- stage 1 + standardization algebra (mirrors _moment_algebra's
-    # additive branches, ops/moments.py:107-170) ----
+    # branches, ops/moments.py:107-180) ----
     variants = []
     for _, eidx in components:
         if eidx not in variants:
@@ -389,50 +392,82 @@ def block_stats_pallas_acc_core(
     C_all = jnp.concatenate(cols, axis=1)          # (n_pad, 1 + Bp*V)
     csum = _colsum(C_all)
     C32 = C_all.astype(jnp.float32)
-    if split:
-        out = gp_matmul(packed, fill2, _hilo(C32, 1), tm=tm, tn=tn,
-                        dtype=kernel_dtype, interpret=interpret,
-                        clean=clean, word=word)
-        Wc = C_all.shape[1]
-        GP = (out[:, :Wc] + out[:, Wc:]).astype(dtype)
-    else:
-        GP = gp_matmul(packed, fill2, C32, tm=tm, tn=tn,
-                       dtype=kernel_dtype, interpret=interpret,
-                       clean=clean, word=word).astype(dtype)
+
+    def stage1(square):
+        if split:
+            out = gp_matmul(packed, fill2, _hilo(C32, 1), tm=tm, tn=tn,
+                            dtype=kernel_dtype, interpret=interpret,
+                            square=square, clean=clean, word=word)
+            Wc = C_all.shape[1]
+            return (out[:, :Wc] + out[:, Wc:]).astype(dtype)
+        return gp_matmul(packed, fill2, C32, tm=tm, tn=tn,
+                         dtype=kernel_dtype, interpret=interpret,
+                         square=square, clean=clean, word=word
+                         ).astype(dtype)
+
+    GP = stage1(False)
+    G2P = stage1(True) if need_dom else None
     mean = GP[:, 0] / n_indiv
     var_add = mean * (1.0 - 0.5 * mean)
     d_add = jnp.where(var_add > 0,
                       jax.lax.rsqrt(jnp.maximum(var_add, 1e-30)), 0.0)
+    if need_dom:
+        mean2 = G2P[:, 0] / n_indiv
+        maf = mean / 2.0
+        denom = 2.0 * maf * (1.0 - maf)
+        d_dom = jnp.where(denom > 0, 1.0 / jnp.maximum(denom, 1e-30), 0.0)
+        alpha = mean + 1.0                         # enc = alpha*g - g^2
+        mean_enc = alpha * mean - mean2
 
     ones_n = jnp.ones((1, P_perm.shape[0]), jnp.float32)
     mask_row = valid_mask[None, :].astype(jnp.float32)
+    prep = lambda Y: (_hilo(Y.astype(jnp.float32).T, 0) if split
+                      else Y.astype(jnp.float32).T.astype(kernel_dtype))
     new_tots, ys = [], []
-    for c, (_, eidx) in enumerate(components):
+    for c, (kind, eidx) in enumerate(components):
         v = variants.index(eidx)
         sl = slice(1 + v * Bp, 1 + (v + 1) * Bp)
-        U = d_add[:, None] * (GP[:, sl] - mean[:, None] * csum[sl][None, :])
+        if kind == "add":
+            U = d_add[:, None] * (GP[:, sl]
+                                  - mean[:, None] * csum[sl][None, :])
+        else:
+            U = d_dom[:, None] * (alpha[:, None] * GP[:, sl] - G2P[:, sl]
+                                  - mean_enc[:, None] * csum[sl][None, :])
         Uy = U[:, b2:]
         ys.append(jnp.sum((Uy * Uy)[:, None, :] * annot_f[:, :, None],
                           axis=0))
         W = (U[:, None, :b2] * annot_f[:, :, None]).reshape(m, K * b2)
-        Yg = d_add[:, None] * W
-        rank1 = jnp.sum(mean[:, None] * Yg, axis=0)      # (K*b2,)
-
-        Yt = Yg.astype(jnp.float32).T                    # (Q, m)
-        Yt = _hilo(Yt, 0) if split else Yt.astype(kernel_dtype)
-        # planewise rule must reproduce the STANDARD path's decision,
-        # which sees ALL components stacked in one operand (run2's
-        # rows = n_comp*K*b2*(2 if split)); output rows of a dot are
-        # independent, so per-component calls under the same blocking
-        # stay bitwise equal to the stacked call
-        pw = len(components) * Yt.shape[0] < 64
-        scale = (ones_n if eidx is None
-                 else env_perm[:, eidx][None, :].astype(jnp.float32))
-        new_tots.append(ytg_acc_matmul(
-            packed, fill2, Yt, rank1[:, None].astype(jnp.float32),
-            scale, mask_row, tot_list[c],
-            tm=tm, tn=tn, dtype=kernel_dtype, interpret=interpret,
-            clean=clean, word=word, split=split, planewise=pw))
+        acc_kw = dict(tm=tm, tn=tn, dtype=kernel_dtype,
+                      interpret=interpret, clean=clean, word=word,
+                      split=split)
+        if kind == "add":
+            Yg = d_add[:, None] * W
+            rank1 = jnp.sum(mean[:, None] * Yg, axis=0)      # (K*b2,)
+            Yt = prep(Yg)
+            # planewise rule must reproduce the STANDARD path's decision,
+            # which sees ALL components' g-side columns stacked in one
+            # operand (run2's rows = n_comp*K*b2*(2 if split)); output
+            # rows of a dot are independent, so per-component calls under
+            # the same blocking stay bitwise equal to the stacked call
+            pw = len(components) * Yt.shape[0] < 64
+            scale = (ones_n if eidx is None
+                     else env_perm[:, eidx][None, :].astype(jnp.float32))
+            new_tots.append(ytg_acc_matmul(
+                packed, fill2, Yt, rank1[:, None].astype(jnp.float32),
+                scale, mask_row, tot_list[c], planewise=pw, **acc_kw))
+        else:
+            Ydm = d_dom[:, None] * W
+            rank1 = jnp.sum(mean_enc[:, None] * Ydm, axis=0)
+            Yt1 = prep(alpha[:, None] * Ydm)       # rides the g dot
+            Yt2 = prep(-Ydm)                       # rides the g^2 dot
+            # the g dot rides the all-components stacked operand; the
+            # g^2 dot's standard call stacks only the dominance columns
+            pw = len(components) * Yt1.shape[0] < 64
+            pw2 = n_dom * Yt2.shape[0] < 64
+            new_tots.append(ytg_acc2_matmul(
+                packed, fill2, Yt1, Yt2,
+                rank1[:, None].astype(jnp.float32), mask_row,
+                tot_list[c], planewise=pw, planewise2=pw2, **acc_kw))
     return new_tots, jnp.concatenate(ys, axis=0).astype(dtype)
 
 

@@ -266,3 +266,44 @@ def test_ytg_acc_matmul(word):
                                         planewise=pw, **kw))
             expect = tot + ((std - rank1) * scale) * mask
             np.testing.assert_array_equal(got, expect)
+
+
+@pytest.mark.parametrize("word", [False, True])
+def test_ytg_acc2_matmul(word):
+    """Dominance aliased stage 2: new_tot = tot + mask * (Yt1 @ g +
+    Yt2 @ g² - rank1), exactly equal to composing the standard g and g²
+    ytg_matmul calls with the out-of-kernel dominance transform
+    (_moment_algebra's mm2_t dom branch: XXG + XXG2, - rank1, * mask) —
+    including independent planewise decisions for the two contractions."""
+    from pyrhe_tpu.io.bed import clean_packed
+    from pyrhe_tpu.ops.kernels import ytg_acc2_matmul, ytg_matmul
+
+    packed_pad, fill_pad, g, perm, m, n, m_pad, n_pad = make_inputs(seed=30)
+    clean_pad = np.zeros_like(packed_pad)
+    clean_packed(packed_pad[:m], fill_pad[:m], out=clean_pad[:m])
+    blk = (jnp.asarray(clean_pad.view(np.int32)) if word
+           else jnp.asarray(clean_pad))
+    zf = jnp.zeros((m_pad, 1), jnp.float32)
+    rng = np.random.default_rng(31)
+    Q = 6
+    Yt1 = rng.normal(size=(Q, m_pad)).astype(np.float32)
+    Yt2 = rng.normal(size=(Q, m_pad)).astype(np.float32)
+    Yt1[:, m:] = 0.0
+    Yt2[:, m:] = 0.0
+    rank1 = rng.normal(size=(Q, 1)).astype(np.float32)
+    mask = (perm < n).astype(np.float32)[None, :]
+    tot = rng.normal(size=(Q, n_pad)).astype(np.float32)
+    kw = dict(tm=TM, tn=TN, dtype=jnp.float32, interpret=True, clean=True,
+              word=word)
+    for pw in (True, False):
+        for pw2 in (True, False):
+            got = np.asarray(ytg_acc2_matmul(
+                blk, zf, jnp.asarray(Yt1), jnp.asarray(Yt2),
+                jnp.asarray(rank1), jnp.asarray(mask), jnp.asarray(tot),
+                planewise=pw, planewise2=pw2, **kw))
+            std1 = np.asarray(ytg_matmul(blk, zf, jnp.asarray(Yt1),
+                                         planewise=pw, **kw))
+            std2 = np.asarray(ytg_matmul(blk, zf, jnp.asarray(Yt2),
+                                         planewise=pw2, square=True, **kw))
+            expect = tot + ((std1 + std2) - rank1) * mask
+            np.testing.assert_array_equal(got, expect)

@@ -203,3 +203,32 @@ def test_genie_gxe_acc_streaming_matches_cached(small_dataset,
     eng_s = mk(True)
     np.testing.assert_array_equal(eng_s.T_all, eng_c.T_all)
     np.testing.assert_array_equal(eng_s.q_all, eng_c.q_all)
+
+
+def test_rhe_dom_acc_streaming_matches_cached(small_dataset, monkeypatch):
+    """RHE-DOM under Pallas: the streaming pass takes the aliased-totals
+    fast path with the dominance component riding ytg_acc2_matmul (the
+    g and g² contractions accumulate in separate scratches so each
+    matches the standard path's per-call dot order) — must stay
+    BIT-identical to the cached run (standard materializing kernels)."""
+    from pyrhe_tpu.core.engine import Engine as Eng
+
+    monkeypatch.setattr(Eng, "_chunk_size", lambda self: 2)
+    ds = small_dataset
+
+    def mk(streaming):
+        data = load_dataset(ds["prefix"], annot_file=ds["annot8_path"],
+                            pheno_file=ds["pheno_path"],
+                            num_random_vec=4, seed=7)
+        cfg = RunConfig(num_random_vec=4, num_jack=4, seed=7,
+                        dtype="float32", mm_mode="exact",
+                        use_pallas=True, streaming=streaming)
+        eng = Engine(data, ModelSpec.build("rhe_dom"), cfg)
+        eng.run_precompute_and_assemble()
+        return eng
+
+    eng_c = mk(False)
+    assert eng_c._acc_fast_path(), "dominance must qualify now"
+    eng_s = mk(True)
+    np.testing.assert_array_equal(eng_s.T_all, eng_c.T_all)
+    np.testing.assert_array_equal(eng_s.q_all, eng_c.q_all)
