@@ -149,15 +149,16 @@ def test_sharded_pallas_interpret(small_dataset):
 @pytest.mark.parametrize("model,genie_model,env", [
     ("rhe", "G", False),
     ("genie", "G+GxE+NxE", True),     # env column as the kernel's scale
+    ("rhe_dom", "G", False),          # dominance via ytg_acc2_matmul
 ])
 def test_sharded_pallas_streaming_acc_matches_cached(small_dataset,
                                                      monkeypatch, model,
                                                      genie_model, env):
     """Sharded streaming under Pallas takes the aliased-totals fast path
     (ShardedRunner._scan_stats keep=False) — including the GxE env
-    plumbing through shard_map; it must stay BIT-identical to the
-    fully-cached sharded run, whose pass 1 uses the standard
-    materializing kernels."""
+    plumbing and the dominance two-contraction kernel through shard_map;
+    it must stay BIT-identical to the fully-cached sharded run, whose
+    pass 1 uses the standard materializing kernels."""
     from pyrhe_tpu.core.data import load_dataset
     from pyrhe_tpu.core.engine import Engine, ModelSpec, RunConfig
 
