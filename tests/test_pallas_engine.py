@@ -58,6 +58,7 @@ def test_pallas_binary_impute_fills_match(small_dataset):
 
 @pytest.mark.parametrize("model,genie_model,env", [
     ("rhe", "G", False),
+    ("rhe_dom", "G", False),   # masked g² moments feed the dom encoding
     ("genie", "G+GxE+NxE", True),
 ])
 def test_pallas_engine_filtered_matches_jnp(filtered_dataset, model,
