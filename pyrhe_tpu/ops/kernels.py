@@ -285,16 +285,32 @@ def _ytg_acc2_kernel(packed_ref, fill_ref, yt1_ref, yt2_ref, rank1_ref,
         acc2_ref[:] = jnp.zeros_like(acc2_ref)
 
     tnb = packed_ref.shape[1]
+    # decode the SWAR dosage fields ONCE; both contractions' planes (and
+    # the square variant) are extracted from the shared fields, so the
+    # single-decode saving is structural, not compiler-CSE-dependent.
+    # The non-clean byte path has no shareable intermediate (fill vs
+    # fill² decodes differ throughout) and decodes per contraction — the
+    # engine's acc fast path always stages clean bytes.
+    if word:
+        d = _swar_doses(packed_ref[:])
+        mk_planes = lambda sq: [_swar_plane(d, p, dtype, sq, nplanes=16)
+                                for p in range(16)]
+    elif clean:
+        d = _swar_doses(packed_ref[:].astype(jnp.int32))
+        mk_planes = lambda sq: [_swar_plane(d, p, dtype, sq)
+                                for p in range(4)]
+    else:
+        mk_planes = lambda sq: list(_plane_iter(
+            packed_ref, fill_ref, dtype, sq, clean, word))
 
     def contract(acc_ref, yt, square, pw):
-        planes = _plane_iter(packed_ref, fill_ref, dtype, square, clean,
-                             word)
+        planes = mk_planes(square)
         if pw:
             for p, g in enumerate(planes):
                 acc_ref[:, p * tnb:(p + 1) * tnb] += _dots(
                     yt, g, ((1,), (0,)), False, dtype)
         else:
-            g = jnp.concatenate(list(planes), axis=1)
+            g = jnp.concatenate(planes, axis=1)
             acc_ref[:] += _dots(yt, g, ((1,), (0,)), False, dtype)
 
     contract(acc1_ref, yt1_ref[:], False, planewise)

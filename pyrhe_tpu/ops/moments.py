@@ -75,6 +75,41 @@ def _hilo(R32, axis):
     return jnp.concatenate([hi, lo], axis=axis)
 
 
+# Standardization scalars + per-component U rows, shared between
+# _moment_algebra and block_stats_pallas_acc_core — ONE definition, so the
+# aliased fast path's bit-identity with the standard path cannot drift.
+def _add_scale(mean):
+    """Additive scale 1/sqrt(2p(1-p)) from the column mean (= 2p)."""
+    var_add = mean * (1.0 - 0.5 * mean)
+    return jnp.where(var_add > 0,
+                     jax.lax.rsqrt(jnp.maximum(var_add, 1e-30)), 0.0)
+
+
+def _dom_scales(mean, mean2):
+    """Dominance-encoding scalars (reference rhe_dom.py:15-41): scale
+    1/(2·maf·(1−maf)), alpha with enc = alpha·g − g², and the encoded
+    column mean."""
+    maf = mean / 2.0
+    denom = 2.0 * maf * (1.0 - maf)
+    d_dom = jnp.where(denom > 0, 1.0 / jnp.maximum(denom, 1e-30), 0.0)
+    alpha = mean + 1.0
+    mean_enc = alpha * mean - mean2
+    return d_dom, alpha, mean_enc
+
+
+def _u_add(d_add, mean, GPr, s_r):
+    """Standardized-X'P rows for an additive component via the rank-1
+    fold (module docstring)."""
+    return d_add[:, None] * (GPr - mean[:, None] * s_r[None, :])
+
+
+def _u_dom(d_dom, alpha, mean_enc, GPr, G2Pr, s_r):
+    """Standardized-X'P rows for a dominance component: the encoding is
+    affine in (g, g²)."""
+    return d_dom[:, None] * (alpha[:, None] * GPr - G2Pr
+                             - mean_enc[:, None] * s_r[None, :])
+
+
 def block_stats_core(
     geno,           # (m, bytes_per_snp) packed u8 OR (m, N) dosage u8
     fill,           # (m,) imputation fill values
@@ -140,16 +175,9 @@ def _moment_algebra(mm1, mm2, N, annot_f, P, env, *, n_indiv, components,
     G2P = mm1("g2", C_all) if need_dom else None
 
     mean = GP[:, 0] / n_indiv
-    var_add = mean * (1.0 - 0.5 * mean)
-    d_add = jnp.where(var_add > 0,
-                      jax.lax.rsqrt(jnp.maximum(var_add, 1e-30)), 0.0)
+    d_add = _add_scale(mean)
     if need_dom:
-        mean2 = G2P[:, 0] / n_indiv
-        maf = mean / 2.0
-        denom = 2.0 * maf * (1.0 - maf)
-        d_dom = jnp.where(denom > 0, 1.0 / jnp.maximum(denom, 1e-30), 0.0)
-        alpha = mean + 1.0                         # enc = alpha*g - g^2
-        mean_enc = alpha * mean - mean2
+        d_dom, alpha, mean_enc = _dom_scales(mean, G2P[:, 0] / n_indiv)
 
     # ---- per-component U, yXXy, and stage-2 right-hand operands ----
     ys, Y_g_list, Y_g2_list, rank1_list, scales = [], [], [], [], []
@@ -158,10 +186,9 @@ def _moment_algebra(mm1, mm2, N, annot_f, P, env, *, n_indiv, components,
         sl = slice(1 + v * Bp, 1 + (v + 1) * Bp)
         GPr, s_r = GP[:, sl], csum[sl]
         if kind == "add":
-            U = d_add[:, None] * (GPr - mean[:, None] * s_r[None, :])
+            U = _u_add(d_add, mean, GPr, s_r)
         else:
-            U = d_dom[:, None] * (alpha[:, None] * GPr - G2P[:, sl]
-                                  - mean_enc[:, None] * s_r[None, :])
+            U = _u_dom(d_dom, alpha, mean_enc, GPr, G2P[:, sl], s_r)
         Uy = U[:, b2:]
         ys.append(jnp.sum((Uy * Uy)[:, None, :] * annot_f[:, :, None],
                           axis=0))                 # (K, T)
@@ -375,6 +402,11 @@ def block_stats_pallas_acc_core(
     m, K = annot_f.shape
     Bp = P_perm.shape[1]
     split = mm_split and kernel_dtype == jnp.bfloat16
+    # fail loudly on component kinds this core has no epilogue for: the
+    # dom kernel applies no env scale (no model builds env-scaled
+    # dominance), and an unknown kind must not fall into the dom branch
+    assert all(kind == "add" or (kind == "dom" and eidx is None)
+               for kind, eidx in components), components
     need_dom = any(kind == "dom" for kind, _ in components)
     n_dom = sum(1 for kind, _ in components if kind == "dom")
 
@@ -408,16 +440,9 @@ def block_stats_pallas_acc_core(
     GP = stage1(False)
     G2P = stage1(True) if need_dom else None
     mean = GP[:, 0] / n_indiv
-    var_add = mean * (1.0 - 0.5 * mean)
-    d_add = jnp.where(var_add > 0,
-                      jax.lax.rsqrt(jnp.maximum(var_add, 1e-30)), 0.0)
+    d_add = _add_scale(mean)
     if need_dom:
-        mean2 = G2P[:, 0] / n_indiv
-        maf = mean / 2.0
-        denom = 2.0 * maf * (1.0 - maf)
-        d_dom = jnp.where(denom > 0, 1.0 / jnp.maximum(denom, 1e-30), 0.0)
-        alpha = mean + 1.0                         # enc = alpha*g - g^2
-        mean_enc = alpha * mean - mean2
+        d_dom, alpha, mean_enc = _dom_scales(mean, G2P[:, 0] / n_indiv)
 
     ones_n = jnp.ones((1, P_perm.shape[0]), jnp.float32)
     mask_row = valid_mask[None, :].astype(jnp.float32)
@@ -428,11 +453,10 @@ def block_stats_pallas_acc_core(
         v = variants.index(eidx)
         sl = slice(1 + v * Bp, 1 + (v + 1) * Bp)
         if kind == "add":
-            U = d_add[:, None] * (GP[:, sl]
-                                  - mean[:, None] * csum[sl][None, :])
+            U = _u_add(d_add, mean, GP[:, sl], csum[sl])
         else:
-            U = d_dom[:, None] * (alpha[:, None] * GP[:, sl] - G2P[:, sl]
-                                  - mean_enc[:, None] * csum[sl][None, :])
+            U = _u_dom(d_dom, alpha, mean_enc, GP[:, sl], G2P[:, sl],
+                       csum[sl])
         Uy = U[:, b2:]
         ys.append(jnp.sum((Uy * Uy)[:, None, :] * annot_f[:, :, None],
                           axis=0))
