@@ -266,11 +266,13 @@ def _ytg_acc2_kernel(packed_ref, fill_ref, yt1_ref, yt2_ref, rank1_ref,
     are y1^T g + y2^T g^2 (the encoding is affine in (g, g^2) —
     ops/moments.py module docstring), so TWO contractions accumulate into
     separate VMEM scratches — separate so each matches the standard
-    path's per-call accumulation order bitwise — over the SAME decoded
-    tile (the standard path's two ytg_matmul calls each re-read the
-    packed bytes from HBM; here the tile is read once and the square
-    variant is re-extracted from the already-SWAR-decoded fields, ~1 VPU
-    op per plane). Epilogue applies the rank-1 correction + validity mask
+    path's per-call accumulation order bitwise — over the SAME packed
+    tile: the standard path's two ytg_matmul calls each re-read the
+    packed bytes from HBM, here the block spec brings them to VMEM once
+    per grid cell for both dots. In planewise mode the VPU decode is
+    also shared (each plane streams through both dots, square = one
+    exact multiply); concat mode re-decodes per contraction — see the
+    in-body VMEM note. Epilogue applies the rank-1 correction + validity mask
     in the standard path's exact order ((A + B) - rank1, then mask; the
     reference dominance path has no env scaling) and adds onto the
     aliased totals. Each contraction keeps its own planewise flag so it
@@ -285,36 +287,44 @@ def _ytg_acc2_kernel(packed_ref, fill_ref, yt1_ref, yt2_ref, rank1_ref,
         acc2_ref[:] = jnp.zeros_like(acc2_ref)
 
     tnb = packed_ref.shape[1]
-    # decode the SWAR dosage fields ONCE; both contractions' planes (and
-    # the square variant) are extracted from the shared fields, so the
-    # single-decode saving is structural, not compiler-CSE-dependent.
-    # The non-clean byte path has no shareable intermediate (fill vs
-    # fill² decodes differ throughout) and decodes per contraction — the
-    # engine's acc fast path always stages clean bytes.
-    if word:
-        d = _swar_doses(packed_ref[:])
-        mk_planes = lambda sq: [_swar_plane(d, p, dtype, sq, nplanes=16)
-                                for p in range(16)]
-    elif clean:
-        d = _swar_doses(packed_ref[:].astype(jnp.int32))
-        mk_planes = lambda sq: [_swar_plane(d, p, dtype, sq)
-                                for p in range(4)]
+    yt1, yt2 = yt1_ref[:], yt2_ref[:]
+    if (clean or word) and planewise and planewise2:
+        # Both contractions planewise on clean bytes: decode each plane
+        # ONCE (structurally — not compiler-CSE-dependent) and stream it
+        # through both dots; the square is one exact VPU multiply
+        # ({0,1,2} -> {0,1,4}, bit-identical values to the square-decode
+        # extraction, hence bitwise-equal dots). Only one plane tile is
+        # live at a time.
+        d = _swar_doses(packed_ref[:] if word
+                        else packed_ref[:].astype(jnp.int32))
+        n_pl = 16 if word else 4
+        for p in range(n_pl):
+            g = _swar_plane(d, p, dtype, False, nplanes=n_pl)
+            sl = slice(p * tnb, (p + 1) * tnb)
+            acc1_ref[:, sl] += _dots(yt1, g, ((1,), (0,)), False, dtype)
+            acc2_ref[:, sl] += _dots(yt2, g * g, ((1,), (0,)), False,
+                                     dtype)
     else:
-        mk_planes = lambda sq: list(_plane_iter(
-            packed_ref, fill_ref, dtype, sq, clean, word))
+        # Concat (wide) mode decodes per contraction ON PURPOSE: holding
+        # both (tm, tn) plane tiles (g and g²) to share the decode blows
+        # the 16 MB scoped-VMEM limit at the production tile shape
+        # (measured 18.4 MB, this round) — the second SWAR pass is the
+        # cheaper trade. The non-clean byte path also has no shareable
+        # intermediate (fill vs fill² decodes differ throughout); the
+        # engine's acc fast path always stages clean bytes.
+        def contract(acc_ref, yt, square, pw):
+            planes = _plane_iter(packed_ref, fill_ref, dtype, square,
+                                 clean, word)
+            if pw:
+                for p, g in enumerate(planes):
+                    acc_ref[:, p * tnb:(p + 1) * tnb] += _dots(
+                        yt, g, ((1,), (0,)), False, dtype)
+            else:
+                g = jnp.concatenate(list(planes), axis=1)
+                acc_ref[:] += _dots(yt, g, ((1,), (0,)), False, dtype)
 
-    def contract(acc_ref, yt, square, pw):
-        planes = mk_planes(square)
-        if pw:
-            for p, g in enumerate(planes):
-                acc_ref[:, p * tnb:(p + 1) * tnb] += _dots(
-                    yt, g, ((1,), (0,)), False, dtype)
-        else:
-            g = jnp.concatenate(planes, axis=1)
-            acc_ref[:] += _dots(yt, g, ((1,), (0,)), False, dtype)
-
-    contract(acc1_ref, yt1_ref[:], False, planewise)
-    contract(acc2_ref, yt2_ref[:], True, planewise2)
+        contract(acc1_ref, yt1, False, planewise)
+        contract(acc2_ref, yt2, True, planewise2)
 
     @pl.when(i == pl.num_programs(1) - 1)
     def _():
