@@ -118,24 +118,30 @@ void bed_col_stats(const uint8_t* dosage, int64_t m, int64_t n, double* sums,
 // Multithreaded over SNP rows (each row is independent).
 void bed_packed_col_stats(const uint8_t* packed, int64_t m, int64_t n_orig,
                           double* sums, int64_t* nmiss, int n_threads) {
-  static int16_t sum_t[256];
-  static int8_t miss_t[256];
-  static bool init = false;
-  if (!init) {
-    static const int8_t code2dose[4] = {0, 0, 1, 2};
-    static const int8_t code2miss[4] = {0, 1, 0, 0};
-    for (int b = 0; b < 256; ++b) {
-      int s = 0, mi = 0;
-      for (int i = 0; i < 4; ++i) {
-        int code = (b >> (2 * i)) & 3;
-        s += code2dose[code];
-        mi += code2miss[code];
+  // C++11 magic static (thread-safe once-init, like kLut): callers arrive
+  // concurrently from the staging thread pools, and a bare
+  // fill-then-set-flag pattern would race on first use.
+  struct StatsLut {
+    int16_t sum_t[256];
+    int8_t miss_t[256];
+    StatsLut() {
+      static const int8_t code2dose[4] = {0, 0, 1, 2};
+      static const int8_t code2miss[4] = {0, 1, 0, 0};
+      for (int b = 0; b < 256; ++b) {
+        int s = 0, mi = 0;
+        for (int i = 0; i < 4; ++i) {
+          int code = (b >> (2 * i)) & 3;
+          s += code2dose[code];
+          mi += code2miss[code];
+        }
+        sum_t[b] = static_cast<int16_t>(s);
+        miss_t[b] = static_cast<int8_t>(mi);
       }
-      sum_t[b] = static_cast<int16_t>(s);
-      miss_t[b] = static_cast<int8_t>(mi);
     }
-    init = true;
-  }
+  };
+  static const StatsLut lut;
+  const int16_t* sum_t = lut.sum_t;
+  const int8_t* miss_t = lut.miss_t;
   const int64_t bytes_per_snp = (n_orig + 3) / 4;
   auto work = [&](int64_t s0, int64_t s1) {
     for (int64_t s = s0; s < s1; ++s) {
@@ -175,23 +181,25 @@ void bed_clean_packed(const uint8_t* packed, int64_t m, int64_t bytes_per_snp,
                       const uint8_t* fill_code, uint8_t* out,
                       int64_t out_stride, int n_threads) {
   // clean_t[f][b]: byte b with every 0b01 code replaced by fill code f
-  // (f indexed 0..3; 0b01 unused).
-  static uint8_t clean_t[4][256];
-  static bool init = false;
-  if (!init) {
-    for (int f = 0; f < 4; ++f) {
-      for (int b = 0; b < 256; ++b) {
-        uint8_t v = 0;
-        for (int i = 0; i < 4; ++i) {
-          uint8_t code = (b >> (2 * i)) & 3;
-          if (code == 1) code = static_cast<uint8_t>(f);
-          v |= static_cast<uint8_t>(code << (2 * i));
+  // (f indexed 0..3; 0b01 unused). Magic static — see bed_packed_col_stats.
+  struct CleanLut {
+    uint8_t t[4][256];
+    CleanLut() {
+      for (int f = 0; f < 4; ++f) {
+        for (int b = 0; b < 256; ++b) {
+          uint8_t v = 0;
+          for (int i = 0; i < 4; ++i) {
+            uint8_t code = (b >> (2 * i)) & 3;
+            if (code == 1) code = static_cast<uint8_t>(f);
+            v |= static_cast<uint8_t>(code << (2 * i));
+          }
+          t[f][b] = v;
         }
-        clean_t[f][b] = v;
       }
     }
-    init = true;
-  }
+  };
+  static const CleanLut lut;
+  const auto& clean_t = lut.t;
   if (n_threads < 1) n_threads = 1;
   auto work = [&](int64_t lo, int64_t hi) {
     for (int64_t s = lo; s < hi; ++s) {

@@ -110,6 +110,38 @@ def _u_dom(d_dom, alpha, mean_enc, GPr, G2Pr, s_r):
                              - mean_enc[:, None] * s_r[None, :])
 
 
+def _stage1_cols(components, P, env, mask_col):
+    """Stage-1 right operand [mask/ones | P per env VARIANT]: the leading
+    column makes column sums — hence means/variances — free byproducts of
+    the first matmul. Returns (variants, C_all)."""
+    variants = []
+    for _, eidx in components:
+        if eidx not in variants:
+            variants.append(eidx)
+    cols = [mask_col]
+    for v in variants:
+        cols.append(P if v is None
+                    else P * env[:, v][:, None].astype(P.dtype))
+    return variants, jnp.concatenate(cols, axis=1)
+
+
+def _component_stats(kind, U, annot_f, b2, d, mean_stat, alpha=None):
+    """Per-component yXXy entry and stage-2 operands from the U rows —
+    ONE definition consumed by both _moment_algebra and the aliased acc
+    core. Returns (ys, Y_g, Y_g2, rank1): Y_g rides the g contraction,
+    Y_g2 (dominance only, else None) the g² one; rank1 is the
+    standardization fold's correction row."""
+    m, K = annot_f.shape
+    Uy = U[:, b2:]
+    ys = jnp.sum((Uy * Uy)[:, None, :] * annot_f[:, :, None], axis=0)
+    W = (U[:, None, :b2] * annot_f[:, :, None]).reshape(m, K * b2)
+    Yd = d[:, None] * W
+    rank1 = jnp.sum(mean_stat[:, None] * Yd, axis=0)
+    if kind == "add":
+        return ys, Yd, None, rank1
+    return ys, alpha[:, None] * Yd, -Yd, rank1
+
+
 def block_stats_core(
     geno,           # (m, bytes_per_snp) packed u8 OR (m, N) dosage u8
     fill,           # (m,) imputation fill values
@@ -159,15 +191,9 @@ def _moment_algebra(mm1, mm2, N, annot_f, P, env, *, n_indiv, components,
     Bp = P.shape[1]
 
     # ---- stage 1: one wide matmul over all env variants + ones column ----
-    variants = []
-    for _, eidx in components:
-        if eidx not in variants:
-            variants.append(eidx)
-    cols = [jnp.ones((N, 1), dtype) if valid_mask is None
-            else valid_mask[:, None].astype(dtype)]
-    for v in variants:
-        cols.append(P if v is None else P * env[:, v][:, None].astype(P.dtype))
-    C_all = jnp.concatenate(cols, axis=1)          # (N, 1 + Bp*V)
+    mask_col = (jnp.ones((N, 1), dtype) if valid_mask is None
+                else valid_mask[:, None].astype(dtype))
+    variants, C_all = _stage1_cols(components, P, env, mask_col)
     csum = _colsum(C_all)                          # exact column sums
 
     need_dom = any(kind == "dom" for kind, _ in components)
@@ -187,22 +213,16 @@ def _moment_algebra(mm1, mm2, N, annot_f, P, env, *, n_indiv, components,
         GPr, s_r = GP[:, sl], csum[sl]
         if kind == "add":
             U = _u_add(d_add, mean, GPr, s_r)
+            ys_e, Yg, Y2, r1 = _component_stats("add", U, annot_f, b2,
+                                                d_add, mean)
         else:
             U = _u_dom(d_dom, alpha, mean_enc, GPr, G2P[:, sl], s_r)
-        Uy = U[:, b2:]
-        ys.append(jnp.sum((Uy * Uy)[:, None, :] * annot_f[:, :, None],
-                          axis=0))                 # (K, T)
-        W = (U[:, None, :b2] * annot_f[:, :, None]).reshape(m, K * b2)
-        if kind == "add":
-            Yg = d_add[:, None] * W
-            Y_g_list.append(Yg)
-            Y_g2_list.append(None)
-            rank1_list.append(jnp.sum(mean[:, None] * Yg, axis=0))
-        else:
-            Ydm = d_dom[:, None] * W
-            Y_g_list.append(alpha[:, None] * Ydm)
-            Y_g2_list.append(-Ydm)
-            rank1_list.append(jnp.sum(mean_enc[:, None] * Ydm, axis=0))
+            ys_e, Yg, Y2, r1 = _component_stats("dom", U, annot_f, b2,
+                                                d_dom, mean_enc, alpha)
+        ys.append(ys_e)                            # (K, T)
+        Y_g_list.append(Yg)
+        Y_g2_list.append(Y2)
+        rank1_list.append(r1)
         scales.append(None if eidx is None else env[:, eidx])
 
     # ---- stage 2: one wide g^T matmul (+ one g2^T matmul for dominance) ----
@@ -410,18 +430,11 @@ def block_stats_pallas_acc_core(
     need_dom = any(kind == "dom" for kind, _ in components)
     n_dom = sum(1 for kind, _ in components if kind == "dom")
 
-    # ---- stage 1 + standardization algebra (mirrors _moment_algebra's
-    # branches, ops/moments.py:107-180) ----
-    variants = []
-    for _, eidx in components:
-        if eidx not in variants:
-            variants.append(eidx)
-    cols = [valid_mask[:, None].astype(dtype)]
-    for v in variants:
-        cols.append(P_perm if v is None
-                    else P_perm * env_perm[:, v][:, None].astype(
-                        P_perm.dtype))
-    C_all = jnp.concatenate(cols, axis=1)          # (n_pad, 1 + Bp*V)
+    # ---- stage 1 + standardization algebra (shared helpers — the same
+    # definitions _moment_algebra consumes, so the two paths cannot
+    # drift) ----
+    variants, C_all = _stage1_cols(components, P_perm, env_perm,
+                                   valid_mask[:, None].astype(dtype))
     csum = _colsum(C_all)
     C32 = C_all.astype(jnp.float32)
 
@@ -452,21 +465,14 @@ def block_stats_pallas_acc_core(
     for c, (kind, eidx) in enumerate(components):
         v = variants.index(eidx)
         sl = slice(1 + v * Bp, 1 + (v + 1) * Bp)
-        if kind == "add":
-            U = _u_add(d_add, mean, GP[:, sl], csum[sl])
-        else:
-            U = _u_dom(d_dom, alpha, mean_enc, GP[:, sl], G2P[:, sl],
-                       csum[sl])
-        Uy = U[:, b2:]
-        ys.append(jnp.sum((Uy * Uy)[:, None, :] * annot_f[:, :, None],
-                          axis=0))
-        W = (U[:, None, :b2] * annot_f[:, :, None]).reshape(m, K * b2)
         acc_kw = dict(tm=tm, tn=tn, dtype=kernel_dtype,
                       interpret=interpret, clean=clean, word=word,
                       split=split)
         if kind == "add":
-            Yg = d_add[:, None] * W
-            rank1 = jnp.sum(mean[:, None] * Yg, axis=0)      # (K*b2,)
+            U = _u_add(d_add, mean, GP[:, sl], csum[sl])
+            ys_e, Yg, _, rank1 = _component_stats("add", U, annot_f, b2,
+                                                  d_add, mean)
+            ys.append(ys_e)
             Yt = prep(Yg)
             # planewise rule must reproduce the STANDARD path's decision,
             # which sees ALL components' g-side columns stacked in one
@@ -480,10 +486,13 @@ def block_stats_pallas_acc_core(
                 packed, fill2, Yt, rank1[:, None].astype(jnp.float32),
                 scale, mask_row, tot_list[c], planewise=pw, **acc_kw))
         else:
-            Ydm = d_dom[:, None] * W
-            rank1 = jnp.sum(mean_enc[:, None] * Ydm, axis=0)
-            Yt1 = prep(alpha[:, None] * Ydm)       # rides the g dot
-            Yt2 = prep(-Ydm)                       # rides the g^2 dot
+            U = _u_dom(d_dom, alpha, mean_enc, GP[:, sl], G2P[:, sl],
+                       csum[sl])
+            ys_e, Y1, Y2, rank1 = _component_stats("dom", U, annot_f, b2,
+                                                   d_dom, mean_enc, alpha)
+            ys.append(ys_e)
+            Yt1 = prep(Y1)                         # rides the g dot
+            Yt2 = prep(Y2)                         # rides the g^2 dot
             # the g dot rides the all-components stacked operand; the
             # g^2 dot's standard call stacks only the dominance columns
             pw = len(components) * Yt1.shape[0] < 64

@@ -119,8 +119,13 @@ def run_sweep(args) -> dict:
             # later files report only their near-free solve time
             t_file = time.time()
             # per-file report: swap in a fresh logger so each input file
-            # gets its own .txt with only its trait sections
+            # gets its own .txt with only its trait sections. The engine
+            # captured the ctor-time logger (models/base.py), so retarget
+            # it too — otherwise engine notices (stats-cache cap, Pallas
+            # downgrade warnings, checkpoint resume) vanish from every
+            # saved report
             model.log = Logger(suppress=True, debug_mode=False)
+            model.engine.log = model.log
             for t in range(nt):
                 res = model(trait=trait0 + t)
                 key = name if nt == 1 else f"{name}:trait{t}"
