@@ -40,6 +40,41 @@ def _make_pheno_files(small_dataset, d):
     return [a, os.path.join(d, "b.pheno"), c]
 
 
+def test_sweep_reports_carry_engine_messages(small_dataset, tmp_path,
+                                             monkeypatch):
+    """Engine messages emitted during the (lazy) shared precompute must
+    land in the per-file report: the sweep retargets the ENGINE's logger
+    when it swaps in each file's fresh Logger — without that, cache-cap
+    notes, Pallas downgrade warnings and checkpoint-resume messages
+    vanish from every saved .txt (round-5 review fix)."""
+    from pyrhe_tpu.core.engine import Engine
+
+    d = str(tmp_path / "phenos")
+    os.makedirs(d)
+    _make_pheno_files(small_dataset, d)
+
+    orig = Engine.precompute
+
+    def noisy(self):
+        self.log._log("ENGINE-NOTE-MARKER")
+        return orig(self)
+
+    monkeypatch.setattr(Engine, "precompute", noisy)
+    args = build_parser().parse_args([
+        "-g", small_dataset["prefix"],
+        "-annot", small_dataset["annot1_path"],
+        "--pheno_glob", os.path.join(d, "*.pheno"),
+        "-o", str(tmp_path / "out"), "-k", "4", "-jn", "4"])
+    run_sweep(args)
+    # one precompute per group, landing in the FIRST file's report:
+    # group {a, b} -> a.txt, group {c} -> c.txt
+    texts = {n: (tmp_path / "out" / f"{n}.txt").read_text()
+             for n in ("a", "b", "c")}
+    assert "ENGINE-NOTE-MARKER" in texts["a"]
+    assert "ENGINE-NOTE-MARKER" in texts["c"]
+    assert "ENGINE-NOTE-MARKER" not in texts["b"]
+
+
 def test_grouping_by_missing_set(small_dataset, tmp_path):
     files = _make_pheno_files(small_dataset, str(tmp_path))
     groups = group_pheno_files(sorted(files))
