@@ -35,6 +35,10 @@ def main():
     ap.add_argument("-jn", type=int, default=100)
     ap.add_argument("--model", default="rhe",
                     choices=["rhe", "rhe_dom", "genie"])
+    ap.add_argument("--genie_model", default="G",
+                    choices=["G", "G+GxE", "G+GxE+NxE"],
+                    help="GENIE component set (an env column is "
+                         "synthesized alongside the dataset when needed)")
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--dir", default="/tmp/pyrhe_e2e")
     ap.add_argument("--checkpoint_dir", default=None,
@@ -94,11 +98,18 @@ def main():
                   "cold_read row would be invalid", file=sys.stderr)
             return 1
 
+    env_file = None
+    if args.model == "genie" and "GxE" in args.genie_model:
+        env_file = prefix + ".env"
+        if not os.path.exists(env_file):
+            synth.make_env_file(env_file, args.N, num_env=1, seed=11)
+
     t0 = time.time()
     data = load_dataset(prefix, annot_file=prefix + ".annot",
                         pheno_file=args.pheno or prefix + ".pheno",
+                        env_file=env_file,
                         num_random_vec=args.k, seed=1)
-    spec = ModelSpec.build(args.model)
+    spec = ModelSpec.build(args.model, args.genie_model, data.num_env)
     eng = Engine(data, spec, RunConfig(num_random_vec=args.k,
                                        num_jack=args.jn, seed=1,
                                        streaming=args.streaming,
@@ -124,7 +135,9 @@ def main():
 
     print(json.dumps({
         "N": args.N, "M": args.M, "k": args.k, "J": args.jn,
-        "model": args.model, "streaming": args.streaming,
+        "model": (args.model if args.model != "genie"
+                  else f"genie:{args.genie_model}"),
+        "streaming": args.streaming,
         "cache_blocks": args.cache_blocks, "cold_read": args.cold_read,
         "backend": jax.devices()[0].platform,
         "sigma": np.round(st, 5).tolist(),
