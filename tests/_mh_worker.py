@@ -16,6 +16,8 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 pid, nproc, port, data_dir, out_npz = sys.argv[1:6]
 extras = sys.argv[6:]
 streaming = "streaming" in extras
+pallas = "pallas" in extras       # f32 fused kernels (interpret on CPU):
+                                  # streaming rides the ALIASED fast path
 ckpt_dir = next((a.split("=", 1)[1] for a in extras
                  if a.startswith("ckpt=")), None)
 
@@ -46,10 +48,15 @@ data = load_dataset(prefix,
                     pheno_file=prefix + ".pheno",
                     cov_file=os.path.join(data_dir, "test.cov"),
                     num_random_vec=8, seed=7)
-cfg = RunConfig(num_random_vec=8, num_jack=10, seed=7, dtype="float64",
+cfg = RunConfig(num_random_vec=8, num_jack=10, seed=7,
+                dtype=("float32" if pallas else "float64"),
+                mm_mode=("exact" if pallas else "auto"),
+                use_pallas=pallas,
                 geno_impute_method="binary", streaming=streaming,
                 checkpoint_dir=ckpt_dir)
 eng = Engine(data, ModelSpec.build("rhe"), cfg)
+if pallas:
+    assert eng.use_pallas and eng._acc_fast_path()
 eng.run_sharded(make_mesh())
 np.savez(out_npz, T_all=eng.T_all, q_all=eng.q_all)
 print(f"worker {pid} done", flush=True)
