@@ -206,6 +206,43 @@ def test_genie_gxe_acc_streaming_matches_cached(small_dataset,
     np.testing.assert_array_equal(eng_s.q_all, eng_c.q_all)
 
 
+def test_genie_multi_env_acc_streaming_matches_cached(small_dataset,
+                                                      tmp_path,
+                                                      monkeypatch):
+    """num_env=2 GENIE G+GxE+NxE through the aliased fast path: THREE
+    additive components (G + 2 GxE, each env column riding its own
+    kernel scale operand) — the region where the reference's k_gxe
+    indexing collides for num_env>1 (SURVEY 2.6); streaming must stay
+    BIT-identical to the cached run."""
+    from pyrhe_tpu.core.engine import Engine as Eng
+    from pyrhe_tpu.io import synth
+
+    monkeypatch.setattr(Eng, "_chunk_size", lambda self: 2)
+    ds = small_dataset
+    env2 = str(tmp_path / "two.env")
+    synth.make_env_file(env2, 600, num_env=2, seed=13)
+
+    def mk(streaming):
+        data = load_dataset(ds["prefix"], annot_file=ds["annot1_path"],
+                            pheno_file=ds["pheno_path"], env_file=env2,
+                            num_random_vec=4, seed=7)
+        assert data.num_env == 2
+        spec = ModelSpec.build("genie", "G+GxE+NxE", data.num_env)
+        cfg = RunConfig(num_random_vec=4, num_jack=4, seed=7,
+                        dtype="float32", mm_mode="exact",
+                        use_pallas=True, streaming=streaming)
+        eng = Engine(data, spec, cfg)
+        eng.run_precompute_and_assemble()
+        return eng
+
+    eng_c = mk(False)
+    assert eng_c._acc_fast_path()
+    assert len(eng_c.spec.components) == 3
+    eng_s = mk(True)
+    np.testing.assert_array_equal(eng_s.T_all, eng_c.T_all)
+    np.testing.assert_array_equal(eng_s.q_all, eng_c.q_all)
+
+
 def test_rhe_dom_acc_streaming_matches_cached(small_dataset, monkeypatch):
     """RHE-DOM under Pallas: the streaming pass takes the aliased-totals
     fast path with the dominance component riding ytg_acc2_matmul (the
