@@ -17,11 +17,12 @@ from pyrhe_tpu.core.engine import Engine, ModelSpec, RunConfig
 
 
 def make_engine(ds, ckpt_dir=None, streaming=False, use_pallas=False, J=8,
-                B=4, dtype="float64", every=1, seed=7, cache_blocks=-1):
+                B=4, dtype="float64", every=1, seed=7, cache_blocks=-1,
+                model="rhe"):
     data = load_dataset(ds["prefix"], annot_file=ds["annot1_path"],
                         pheno_file=ds["pheno_path"], num_random_vec=B,
                         seed=seed)
-    spec = ModelSpec.build("rhe", "G", data.num_env)
+    spec = ModelSpec.build(model, "G", data.num_env)
     cfg = RunConfig(num_random_vec=B, num_jack=J, seed=seed,
                     geno_impute_method="binary",
                     dtype=("float32" if use_pallas else dtype),
@@ -182,6 +183,32 @@ def test_crash_mid_assemble_streaming_chunked(small_dataset, tmp_path,
     loaded = spy_loads(eng2)
     eng2.run_precompute_and_assemble()
     assert min(loaded) == 2
+    np.testing.assert_array_equal(eng2.T_all, base.T_all)
+    np.testing.assert_array_equal(eng2.q_all, base.q_all)
+
+
+def test_crash_mid_precompute_dom_acc(small_dataset, tmp_path,
+                                      monkeypatch):
+    """Kill/resume through the dominance aliased path: RHE-DOM streaming
+    pass 1 rides ytg_acc2_matmul with totals converted to engine layout
+    at checkpoint boundaries — a resumed run must reproduce the
+    uninterrupted run bit-exactly."""
+    ck = str(tmp_path / "ck")
+    monkeypatch.setattr(Engine, "_chunk_size", lambda self: 1)
+    base = make_engine(small_dataset, use_pallas=True, streaming=True,
+                       J=4, model="rhe_dom")
+    assert base._acc_fast_path()
+    base.run_precompute_and_assemble()
+
+    eng = make_engine(small_dataset, ck, use_pallas=True, streaming=True,
+                      J=4, model="rhe_dom")
+    crash_commit_after(eng, n_allowed=2)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eng.run_precompute_and_assemble()
+
+    eng2 = make_engine(small_dataset, ck, use_pallas=True, streaming=True,
+                       J=4, model="rhe_dom")
+    eng2.run_precompute_and_assemble()
     np.testing.assert_array_equal(eng2.T_all, base.T_all)
     np.testing.assert_array_equal(eng2.q_all, base.q_all)
 
